@@ -1,0 +1,56 @@
+"""Batch iteration over preloaded arrays (reference: F3_DATASET.py + DataLoader).
+
+The reference wraps preloaded tensors in a trivial ``Dataset``
+(F3_DATASET.py:6-26) and iterates with ``DataLoader(batch_size, shuffle=False)``
+(F2_MAIN.py:90, 104-111) — all randomization lives in the committed
+permutation file, so iteration order is deterministic by construction.
+
+TPU-first design: XLA compiles one program per input shape, so ragged final
+batches would trigger recompilation. Batches are therefore *padded to a
+static batch size* and carry a per-sample validity mask; the jitted
+train/eval steps weight losses and metrics by that mask, which reproduces
+the reference's ``batchLoad``-weighted accumulation (F4_TRAIN.py:65-71)
+exactly, including the final partial batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Tuple
+
+import numpy as np
+
+__all__ = ["Batch", "batch_iterator", "num_batches"]
+
+
+@dataclasses.dataclass
+class Batch:
+    images: np.ndarray  # (B, 3, 3, H, W) float32 (padded)
+    masks: np.ndarray   # (B, 3, 1, H, W) float32 (padded)
+    valid: np.ndarray   # (B,) float32 — 1.0 for real samples, 0.0 for padding
+
+
+def num_batches(n: int, batch_size: int) -> int:
+    return -(-n // batch_size)
+
+
+def batch_iterator(
+    images: np.ndarray,
+    masks: np.ndarray,
+    indices: np.ndarray,
+    batch_size: int,
+) -> Iterator[Batch]:
+    """Yield fixed-shape padded batches over ``images[indices]`` in order."""
+    n = len(indices)
+    for start in range(0, n, batch_size):
+        idx = indices[start : start + batch_size]
+        b = len(idx)
+        im = images[idx]
+        ma = masks[idx]
+        valid = np.ones((batch_size,), dtype=np.float32)
+        if b < batch_size:
+            pad = batch_size - b
+            im = np.concatenate([im, np.zeros((pad, *im.shape[1:]), im.dtype)])
+            ma = np.concatenate([ma, np.zeros((pad, *ma.shape[1:]), ma.dtype)])
+            valid[b:] = 0.0
+        yield Batch(im, ma, valid)

@@ -1,0 +1,249 @@
+"""Convolution building blocks, channels-last, TPU-first.
+
+Layout: activations are channels-last (NHWC / NDHWC) and kernels are
+spatial-first ``(*kernel, in, out)`` — XLA's preferred TPU layout, keeping
+the channel dim on the 128-lane axis so convs tile directly onto the MXU.
+
+Performance note: 3-D convolutions whose depth kernel is 1 with unit depth
+stride (every inflated ResNet50 bottleneck conv, mmvit4.py:131-135 uses
+``time_dim=1``) are algebraically 2-D convolutions applied per depth slice.
+``Conv`` detects this and folds depth into batch, turning the whole encoder
+into large batched 2-D convs — much better MXU utilization than genuine 3-D
+convolution for depth-3 volumes.
+
+Parity notes:
+  * default kernel/bias init matches torch Conv defaults
+    (kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)));
+  * ``pad_mode='replicate'`` matches torch ``padding_mode='replicate'``
+    (decoder convs, mmvit4.py:225-236);
+  * ``GeneralConv3d`` applies conv -> activation -> norm in that order
+    (activation BEFORE norm, mmvit4.py:41-45).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from corrifnet_tpu.nn import init as tinit
+from corrifnet_tpu.nn.norm import BatchNorm, GroupNorm, InstanceNorm
+
+__all__ = ["Conv", "Dense", "GeneralConv3d", "FusionPrenorm", "EarlyFusionBlock"]
+
+Dtype = Any
+
+
+def _tuple(v, n):
+    if isinstance(v, (tuple, list)):
+        assert len(v) == n, (v, n)
+        return tuple(v)
+    return (v,) * n
+
+
+class Conv(fnn.Module):
+    """N-D convolution (N inferred from input rank), channels-last.
+
+    kernel_size/strides/padding/dilation: int or per-spatial-axis tuple.
+    padding is symmetric ints per axis (torch-style).
+    """
+
+    features: int
+    kernel_size: Union[int, Sequence[int]]
+    strides: Union[int, Sequence[int]] = 1
+    padding: Union[int, Sequence[int]] = 0
+    dilation: Union[int, Sequence[int]] = 1
+    groups: int = 1
+    use_bias: bool = True
+    pad_mode: str = "zeros"  # 'zeros' | 'replicate' | 'reflect'
+    kernel_init: Callable = tinit.torch_default_kernel
+    bias_init: Optional[Callable] = None  # default: torch U(+-1/sqrt(fan_in))
+    dtype: Dtype = None  # compute dtype; params stay float32
+
+    @fnn.compact
+    def __call__(self, x):
+        nsp = x.ndim - 2
+        ks = _tuple(self.kernel_size, nsp)
+        st = _tuple(self.strides, nsp)
+        pd = _tuple(self.padding, nsp)
+        dl = _tuple(self.dilation, nsp)
+        in_ch = x.shape[-1]
+        assert in_ch % self.groups == 0
+        kshape = (*ks, in_ch // self.groups, self.features)
+        fan_in = (in_ch // self.groups) * math.prod(ks)
+
+        kernel = self.param("kernel", self.kernel_init, kshape, jnp.float32)
+        bias = None
+        if self.use_bias:
+            b_init = self.bias_init or tinit.torch_default_bias(fan_in)
+            bias = self.param("bias", b_init, (self.features,), jnp.float32)
+
+        cdtype = self.dtype or x.dtype
+        x = x.astype(cdtype)
+        kernel = kernel.astype(cdtype)
+
+        if self.pad_mode != "zeros" and any(pd):
+            cfg = [(0, 0)] + [(p, p) for p in pd] + [(0, 0)]
+            mode = {"replicate": "edge", "reflect": "reflect"}[self.pad_mode]
+            x = jnp.pad(x, cfg, mode=mode)
+            pad_cfg = [(0, 0)] * nsp
+        else:
+            pad_cfg = [(p, p) for p in pd]
+
+        # Fold trivial leading spatial dims (kernel 1, stride 1, no pad, no
+        # dilation) into batch: turns depth-1-kernel 3-D convs into 2-D convs.
+        fold = 0
+        while (
+            fold < nsp - 2
+            and ks[fold] == 1
+            and st[fold] == 1
+            and pad_cfg[fold] == (0, 0)
+            and dl[fold] == 1
+        ):
+            fold += 1
+        orig_shape = x.shape
+        if fold:
+            lead = 1
+            for s in orig_shape[: 1 + fold]:
+                lead *= s
+            x = x.reshape(lead, *orig_shape[1 + fold :])
+            kernel = kernel.reshape(*kshape[fold:-2], *kshape[-2:]).astype(cdtype)
+            st_, pad_, dl_ = st[fold:], pad_cfg[fold:], dl[fold:]
+        else:
+            st_, pad_, dl_ = st, pad_cfg, dl
+
+        dn = _dim_numbers(x.ndim)
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=st_,
+            padding=pad_,
+            rhs_dilation=dl_,
+            dimension_numbers=dn,
+            feature_group_count=self.groups,
+            preferred_element_type=jnp.float32,
+        )
+        if fold:
+            y = y.reshape(*orig_shape[: 1 + fold], *y.shape[1:])
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y.astype(cdtype)
+
+
+def _dim_numbers(rank):
+    spatial = "DHW"[-(rank - 2):] if rank <= 5 else None
+    assert spatial is not None, f"unsupported conv rank {rank}"
+    lhs = "N" + spatial + "C"
+    rhs = spatial + "IO"
+    return jax.lax.conv_dimension_numbers((1,) * rank, (1,) * rank, (lhs, rhs, lhs))
+
+
+class Dense(fnn.Module):
+    """Linear layer with torch default init."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = tinit.torch_default_kernel
+    dtype: Dtype = None
+
+    @fnn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (in_ch, self.features), jnp.float32
+        )
+        cdtype = self.dtype or x.dtype
+        y = jnp.dot(
+            x.astype(cdtype),
+            kernel.astype(cdtype),
+            preferred_element_type=jnp.float32,
+        ).astype(cdtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", tinit.torch_default_bias(in_ch), (self.features,), jnp.float32
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class GeneralConv3d(fnn.Module):
+    """conv3d -> activation -> norm (reference general_conv3d_prenorm,
+    mmvit4.py:29-45 — note activation precedes the norm)."""
+
+    features: int
+    kernel_size: Union[int, Sequence[int]] = 3
+    strides: Union[int, Sequence[int]] = 1
+    padding: Union[int, Sequence[int]] = 1
+    pad_mode: str = "zeros"
+    norm: str = "in"  # 'bn' | 'gn' | 'in'
+    act: str = "relu"  # 'relu' | 'lrelu'
+    relufactor: float = 0.2
+    kernel_init: Callable = tinit.kaiming_normal  # MMVit4 re-init, mmvit4.py:437-439
+    dtype: Dtype = None
+
+    @fnn.compact
+    def __call__(self, x, train: bool = True):
+        x = Conv(
+            self.features,
+            self.kernel_size,
+            self.strides,
+            self.padding,
+            pad_mode=self.pad_mode,
+            kernel_init=self.kernel_init,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if self.act == "relu":
+            x = jax.nn.relu(x)
+        elif self.act == "lrelu":
+            x = jax.nn.leaky_relu(x, self.relufactor)
+        if self.norm == "bn":
+            x = BatchNorm(dtype=self.dtype, name="norm")(
+                x, use_running_average=not train
+            )
+        elif self.norm == "gn":
+            x = GroupNorm(num_groups=4, dtype=self.dtype, name="norm")(x)
+        elif self.norm == "in":
+            x = InstanceNorm(dtype=self.dtype, name="norm")(x)
+        else:
+            raise ValueError(f"normalization type {self.norm} is not supported")
+        return x
+
+
+class FusionPrenorm(fnn.Module):
+    """RFM block: 1x1 -> 3x3 -> 1x1 GeneralConv3d stack (mmvit4.py:47-56)."""
+
+    in_channel: int = 64
+    num_cls: int = 1
+    dtype: Dtype = None
+
+    @fnn.compact
+    def __call__(self, x, train: bool = True):
+        c = self.in_channel
+        x = GeneralConv3d(c, 1, 1, 0, dtype=self.dtype, name="l0")(x, train)
+        x = GeneralConv3d(c, 3, 1, 1, dtype=self.dtype, name="l1")(x, train)
+        x = GeneralConv3d(c, 1, 1, 0, dtype=self.dtype, name="l2")(x, train)
+        return x
+
+
+class EarlyFusionBlock(fnn.Module):
+    """concat(modalities) -> 1x1 conv -> ReLU -> InstanceNorm
+    (mmvit4.py:64-81). Channel count is preserved (3*in_channels)."""
+
+    dtype: Dtype = None
+
+    @fnn.compact
+    def __call__(self, x_rgb, x_nir, x_swir):
+        x = jnp.concatenate([x_rgb, x_nir, x_swir], axis=-1)
+        x = Conv(
+            x.shape[-1],
+            1,
+            kernel_init=tinit.kaiming_normal,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = jax.nn.relu(x)
+        return InstanceNorm(dtype=self.dtype, name="norm")(x)

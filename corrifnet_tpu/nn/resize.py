@@ -1,0 +1,141 @@
+"""Spatial resizing with PyTorch-matching semantics, channels-last, TPU-first.
+
+The reference mixes two interpolation flavours that must NOT be conflated:
+  * ``mode='trilinear', align_corners=True`` — encoder x6 pyramid
+    (mmvit4.py:187-191), decoder ``up2/up4/...`` (mmvit4.py:243-246) and
+    ``up_to_224`` (mmvit4.py:263);
+  * bare ``F.interpolate(x, size)`` with NO mode — torch defaults to
+    **nearest** (decoder skip resizes, mmvit4.py:271,276,281,286).
+
+Implementation strategy (TPU-first): interpolation along each axis is a
+linear map, so we materialize small static interpolation matrices at trace
+time (NumPy, shapes are static under jit) and contract them with the data —
+the work lands on the MXU as matmuls instead of gather pipelines.
+
+``align_corners=True`` coordinate rule (torch): src = dst*(S-1)/(D-1) for
+D>1, else 0 (so up_to_224 on a D=128 volume takes depth slice 0 — quirk
+preserved). Nearest rule: src = floor(dst*S/D).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "resize_linear",
+    "resize_nearest",
+    "max_pool",
+    "avg_pool",
+    "upsample_bilinear_2d",
+]
+
+
+@functools.lru_cache(maxsize=None)
+def _linear_matrix(src: int, dst: int, align_corners: bool) -> np.ndarray:
+    """(dst, src) row-stochastic linear interpolation matrix."""
+    w = np.zeros((dst, src), dtype=np.float32)
+    for i in range(dst):
+        if align_corners:
+            x = i * (src - 1) / (dst - 1) if dst > 1 else 0.0
+        else:
+            x = max((i + 0.5) * src / dst - 0.5, 0.0)
+        lo = int(np.floor(x))
+        lo = min(lo, src - 1)
+        hi = min(lo + 1, src - 1)
+        frac = x - lo
+        w[i, lo] += 1.0 - frac
+        w[i, hi] += frac
+    return w
+
+
+@functools.lru_cache(maxsize=None)
+def _nearest_indices(src: int, dst: int) -> np.ndarray:
+    """Torch 'nearest' source indices: floor(dst_idx * src / dst)."""
+    idx = np.floor(np.arange(dst) * (src / dst)).astype(np.int32)
+    return np.minimum(idx, src - 1)
+
+
+def resize_linear(x: jnp.ndarray, size: Sequence[int], align_corners: bool = True):
+    """Linear/bilinear/trilinear resize of the spatial axes of a
+    channels-last array ``(B, *spatial, C)`` to ``size``.
+
+    Matches torch ``F.interpolate(mode='(bi|tri)linear')``.
+    """
+    spatial_axes = tuple(range(1, x.ndim - 1))
+    assert len(size) == len(spatial_axes), (x.shape, size)
+    dtype = x.dtype
+    y = x
+    for ax, dst in zip(spatial_axes, size):
+        src = y.shape[ax]
+        if src == dst:
+            continue
+        w = jnp.asarray(_linear_matrix(src, dst, align_corners), dtype=jnp.float32)
+        y = jnp.tensordot(
+            w, y.astype(jnp.float32), axes=[[1], [ax]]
+        )  # -> dst axis first
+        y = jnp.moveaxis(y, 0, ax)
+    return y.astype(dtype)
+
+
+def resize_nearest(x: jnp.ndarray, size: Sequence[int]):
+    """Nearest-neighbour resize (torch ``F.interpolate`` default mode)."""
+    spatial_axes = tuple(range(1, x.ndim - 1))
+    assert len(size) == len(spatial_axes), (x.shape, size)
+    y = x
+    for ax, dst in zip(spatial_axes, size):
+        src = y.shape[ax]
+        if src == dst:
+            continue
+        idx = jnp.asarray(_nearest_indices(src, dst))
+        y = jnp.take(y, idx, axis=ax)
+    return y
+
+
+def _pool(x, window, strides, padding, init_val, op):
+    """reduce_window over spatial axes of channels-last input."""
+    nspatial = x.ndim - 2
+    window_dims = (1, *window, 1)
+    stride_dims = (1, *strides, 1)
+    pads = [(0, 0)] + [(p, p) for p in padding] + [(0, 0)]
+    return jax.lax.reduce_window(x, init_val, op, window_dims, stride_dims, pads)
+
+
+def max_pool(x, window, strides=None, padding=None):
+    """Max pooling, torch-compatible (pads with -inf).
+
+    ``window``/``strides``/``padding`` are per-spatial-axis tuples, e.g. the
+    MMVit4 stem's MaxPool3d((1,3,3), (1,2,2), (0,1,1)) (mmvit4.py:123).
+    """
+    strides = strides or window
+    padding = padding or tuple(0 for _ in window)
+    return _pool(x, window, strides, padding, -jnp.inf, jax.lax.max)
+
+
+def avg_pool(x, window, strides=None, padding=None, count_include_pad=True):
+    """Average pooling (torch default counts padded zeros in the divisor)."""
+    strides = strides or window
+    padding = padding or tuple(0 for _ in window)
+    summed = _pool(
+        x.astype(jnp.float32), window, strides, padding, 0.0, jax.lax.add
+    )
+    if count_include_pad:
+        denom = 1.0
+        for w in window:
+            denom *= w
+        out = summed / denom
+    else:
+        ones = jnp.ones(x.shape[:-1] + (1,), jnp.float32)
+        counts = _pool(ones, window, strides, padding, 0.0, jax.lax.add)
+        out = summed / counts
+    return out.astype(x.dtype)
+
+
+def upsample_bilinear_2d(x, scale: int, align_corners: bool = True):
+    """nn.Upsample(scale_factor=s, mode='bilinear') for NHWC input."""
+    b, h, w, c = x.shape
+    return resize_linear(x, (h * scale, w * scale), align_corners=align_corners)
