@@ -1,0 +1,88 @@
+"""Experiment configuration (reference: the 18-line positional text file
+read at F2_MAIN.py:62-83).
+
+Two loaders: the reference's positional ``model{i}.txt`` format (one value
+per line, order fixed) for drop-in compatibility, and a modern JSON/dict
+loader. Fields and defaults mirror the reference config exactly; extra
+TPU-framework knobs (dtype, sharding, decoder depth mode, pallas toggle)
+have parity-neutral defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Optional
+
+__all__ = ["ExperimentConfig", "load_text_config", "load_config"]
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    # --- the 18 reference lines, in file order (F2_MAIN.py:66-83) ---
+    train_set_size: int = 5985
+    fno: int = 2              # 1-based fold number (committed run used fold 2)
+    fsiz: int = 5
+    val_ratio: float = 0.1    # parsed but ignored; CrossVal hard-codes 0.1
+    mini_batch_size: int = 4
+    n_epochs: int = 70
+    learn_rate: float = 1e-4
+    optimizer_type: str = "Adam"        # 'Adam' | 'SGD'
+    trainloss: str = "BCEWithLogitsLoss"
+    validationloss: str = "BCEWithLogitsLoss"
+    accuracy: str = "Jaccard"
+    initialization: str = "kaiming_normal_"
+    step_size: int = 5
+    gamma: float = 0.9
+    lim: int = 224
+    modeltype: str = "MMVit4"
+    chindex: str = "0"
+    transfertype: str = "notr"          # 'yestr' | 'notr' | 'loratr'
+
+    # --- TPU-framework extensions (not in the reference file) ---
+    dtype: str = "bfloat16"             # compute dtype ('float32' for parity)
+    use_pallas: bool = True
+    depth_mode: str = "full"            # MMVit4 decoder: 'full' | 'pruned'
+    val_from_checkpoint: bool = True
+    data_pack: Optional[str] = None     # .npz pack path
+    data_dirs: Optional[dict] = None    # {'rgb':…, 'all20':…, 'mask':…}
+    synthetic_seed: Optional[int] = None
+    seed: int = 0
+
+    @property
+    def jax_dtype(self):
+        import jax.numpy as jnp
+
+        return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[self.dtype]
+
+
+_TEXT_FIELDS = [
+    ("train_set_size", int), ("fno", int), ("fsiz", int), ("val_ratio", float),
+    ("mini_batch_size", int), ("n_epochs", int), ("learn_rate", float),
+    ("optimizer_type", str), ("trainloss", str), ("validationloss", str),
+    ("accuracy", str), ("initialization", str), ("step_size", int),
+    ("gamma", float), ("lim", int), ("modeltype", str), ("chindex", str),
+    ("transfertype", str),
+]
+
+
+def load_text_config(path) -> ExperimentConfig:
+    """Parse the reference's 18-line positional format (F2_MAIN.py:62-83)."""
+    lines = [ln.rstrip() for ln in Path(path).read_text().splitlines()]
+    if len(lines) < len(_TEXT_FIELDS):
+        raise ValueError(
+            f"{path}: expected {len(_TEXT_FIELDS)} config lines, got {len(lines)}"
+        )
+    kwargs = {
+        name: conv(lines[idx]) for idx, (name, conv) in enumerate(_TEXT_FIELDS)
+    }
+    return ExperimentConfig(**kwargs)
+
+
+def load_config(path) -> ExperimentConfig:
+    """Load either format by extension (.json or reference .txt)."""
+    p = Path(path)
+    if p.suffix == ".json":
+        return ExperimentConfig(**json.loads(p.read_text()))
+    return load_text_config(p)

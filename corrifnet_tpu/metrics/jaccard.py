@@ -21,7 +21,13 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["jaccard", "jaccard2", "jaccard_and_f1", "jaccard_f1_pair"]
+__all__ = [
+    "jaccard",
+    "jaccard2",
+    "jaccard_and_f1",
+    "jaccard_f1_pair",
+    "jaccard2_masked",
+]
 
 
 def jaccard(y: jnp.ndarray, y_pred: jnp.ndarray, epsilon: float = 1e-8) -> jnp.ndarray:
@@ -44,6 +50,29 @@ def jaccard2(y: jnp.ndarray, y_pred: jnp.ndarray, epsilon: float = 1e-8) -> jnp.
     """Soft Jaccard with all-background inversion. Mirrors F5_JACCARD2.py:11-20."""
     y, y_pred = _maybe_invert(y, y_pred)
     return jaccard(y, y_pred, epsilon)
+
+
+def jaccard2_masked(
+    y: jnp.ndarray,
+    y_pred: jnp.ndarray,
+    valid: jnp.ndarray,
+    epsilon: float = 1e-8,
+) -> jnp.ndarray:
+    """``jaccard2`` over the subset where ``valid`` is 1 (same shape as y).
+
+    Used by the jitted train/eval steps: XLA needs static batch shapes, so
+    ragged final batches are padded and masked out here. Identical to
+    ``jaccard2`` restricted to valid rows: all sums are masked (including the
+    all-background check and the post-inversion masks).
+    """
+    y_v = y * valid
+    empty = y_v.sum(0) == 0
+    y_eff = jnp.where(empty, 1.0 - y, y) * valid
+    y_pred_eff = jnp.where(empty, 1.0 - y_pred, y_pred) * valid
+    tp = (y_pred_eff * y_eff).sum(0)
+    fp = ((valid - y_pred_eff) * y_eff).sum(0)
+    fn = ((valid - y_eff) * y_pred_eff).sum(0)
+    return (tp + epsilon) / (tp + fp + fn + epsilon)
 
 
 def jaccard_and_f1(y: jnp.ndarray, y_pred: jnp.ndarray, epsilon: float = 1e-8) -> jnp.ndarray:

@@ -1,0 +1,167 @@
+"""MMVit4 — CorrIFNet, the flagship model (reference: mmvit4.py:391-532).
+
+Pipeline (mmvit4.py:441-532):
+  1. three per-modality inflated-ResNet50-3D encoders (RGB / NIR / SWIR);
+  2. EarlyFusionBlock per level (concat -> 1x1 conv -> ReLU -> InstanceNorm);
+  3. IntraFormer: per-modality 1x1 conv to 512-d tokens (8^3 = 512 tokens),
+     learned zero-init positional embeddings, depth-1 8-head transformer;
+  4. InterFormer correlation attention: per-modality qkv projections, then
+     the per-element modality softmax fusion (see ops.correlation — Pallas
+     kernel on TPU, XLA path elsewhere);
+  5. residual: correlation output is added onto the PRE-transformer skip
+     tokens (mmvit4.py:505-507 — the IntraFormer output itself feeds only
+     the qkv projections, quirk preserved);
+  6. multimodal transformer over the 4 concatenated token groups (2048
+     tokens) followed by the (B,2048,512)->(B,8,8,8,2048) reinterpreting
+     reshape + 1x1 decode conv (mmvit4.py:519-529);
+  7. DecoderFuse cascade to a sigmoid (B, 3, 1, 224, 224) prediction.
+
+TPU-first design choices:
+  * the three encoders / tokenizers / qkv projections are a single
+    ``nn.vmap`` over a stacked modality axis — every conv/matmul runs at 3x
+    batch, tripling MXU occupancy at small batch;
+  * everything is channels-last; 1x1x1 convs on token grids are expressed
+    as Dense layers (identical math, direct MXU mapping);
+  * init parity: every conv is kaiming-normal because MMVit4's constructor
+    re-initializes all Conv3d weights (mmvit4.py:437-439), positional
+    embeddings are zeros (mmvit4.py:408-411).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from corrifnet_tpu.models.decoder import DecoderFuse
+from corrifnet_tpu.models.resnet3d import BASIC_DIMS, ResNet3DEncoder
+from corrifnet_tpu.nn import Dense, EarlyFusionBlock, Transformer
+from corrifnet_tpu.nn import init as tinit
+from corrifnet_tpu.ops import correlation_fusion
+
+__all__ = ["MMVit4"]
+
+Dtype = Any
+
+TRANSFORMER_DIM = 512  # mmvit4.py:11
+PATCH = 8  # mmvit4.py:16
+NUM_TOKENS = PATCH ** 3
+
+
+class _ModalityStream(fnn.Module):
+    """Per-modality tokenizer + IntraFormer + qkv projection (vmapped x3)."""
+
+    dtype: Dtype = None
+
+    @fnn.compact
+    def __call__(self, x6, pos, train: bool = True):
+        b = x6.shape[0]
+        # 1x1x1 encode conv == per-token Dense (mmvit4.py:398-400)
+        skip = Dense(
+            TRANSFORMER_DIM, kernel_init=tinit.kaiming_normal, dtype=self.dtype,
+            name="encode_conv",
+        )(x6.reshape(b, NUM_TOKENS, -1))
+        trans = Transformer(
+            TRANSFORMER_DIM, depth=1, heads=8, mlp_dim=512, dropout_rate=0.1,
+            dtype=self.dtype, name="transformer",
+        )(skip, pos, deterministic=not train)
+        qkv = Dense(
+            TRANSFORMER_DIM * 3, kernel_init=tinit.kaiming_normal,
+            dtype=self.dtype, name="qkv",
+        )(trans)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        return skip, q, k, v
+
+
+class MMVit4(fnn.Module):
+    """CorrIFNet. Input (B, 3, 3, 224, 224) reference layout; output
+    sigmoid probabilities (B, 3, 1, 224, 224)."""
+
+    num_cls: int = 1
+    dtype: Dtype = None
+    use_pallas: bool = True
+    depth_mode: str = "pruned"  # decoder depth mode: 'full' | 'pruned'
+
+    @fnn.compact
+    def __call__(self, x, train: bool = False):
+        b = x.shape[0]
+        cdtype = self.dtype or x.dtype
+        # (B, M, C, H, W) -> stacked channels-last volumes (M, B, D=3, H, W, 1)
+        vol = jnp.moveaxis(x, 1, 0)[..., None].astype(cdtype)
+
+        VEncoder = fnn.vmap(
+            ResNet3DEncoder,
+            in_axes=(0, None),
+            out_axes=0,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True, "dropout": True},
+        )
+        e1, e2, e3, e4, e5, e6 = VEncoder(dtype=self.dtype, name="encoders")(
+            vol, train
+        )
+
+        # Early fusion per level (mmvit4.py:449-454).
+        fused = [
+            EarlyFusionBlock(dtype=self.dtype, name=f"fusion{i + 1}")(
+                lvl[0], lvl[1], lvl[2]
+            )
+            for i, lvl in enumerate((e1, e2, e3, e4, e5, e6))
+        ]
+        fused_x1, fused_x2, fused_x3, fused_x4, _fused_x5, fused_x6 = fused
+
+        # IntraFormer + qkv per modality (vmapped).
+        pos = self.param(
+            "modality_pos",
+            tinit.zeros,
+            (3, 1, NUM_TOKENS, TRANSFORMER_DIM),
+            jnp.float32,
+        )
+        VStream = fnn.vmap(
+            _ModalityStream,
+            in_axes=(0, 0, None),
+            out_axes=0,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+        )
+        x6_tokens = e6.reshape(3, b, NUM_TOKENS, BASIC_DIMS * 8)
+        skip, q, k, v = VStream(dtype=self.dtype, name="modality_stream")(
+            x6_tokens, pos.astype(cdtype), train
+        )
+
+        # InterFormer correlation fusion (mmvit4.py:481-491) — Pallas on TPU.
+        corr = correlation_fusion(q, k, v, use_pallas=self.use_pallas)
+        fused_tokens = skip + corr  # residual onto PRE-transformer skips
+
+        # Multimodal transformer over 4 token groups (mmvit4.py:510-522).
+        fused6_tok = Dense(
+            TRANSFORMER_DIM, kernel_init=tinit.kaiming_normal, dtype=self.dtype,
+            name="fused6_encode_conv",
+        )(fused_x6.reshape(b, NUM_TOKENS, -1))
+        fused6_pos = self.param(
+            "fused6_pos", tinit.zeros, (1, NUM_TOKENS, TRANSFORMER_DIM), jnp.float32
+        )
+        mm_tokens = jnp.concatenate(
+            [fused_tokens[0], fused_tokens[1], fused_tokens[2], fused6_tok], axis=1
+        )
+        mm_pos = jnp.concatenate(
+            [pos[0], pos[1], pos[2], fused6_pos], axis=1
+        ).astype(cdtype)
+        mm_out = Transformer(
+            TRANSFORMER_DIM, depth=1, heads=8, mlp_dim=512, dropout_rate=0.1,
+            dtype=self.dtype, name="multimodal_transformer",
+        )(mm_tokens, mm_pos, deterministic=not train)
+
+        # Reinterpreting reshape (B,2048,512)->(B,8,8,8,2048) — row-major
+        # buffer reuse identical to torch .view (mmvit4.py:525-529).
+        x6_inter = mm_out.reshape(b, PATCH, PATCH, PATCH, TRANSFORMER_DIM * 4)
+        x6_inter = Dense(
+            BASIC_DIMS * 8 * 3, kernel_init=tinit.kaiming_normal, dtype=self.dtype,
+            name="multimodal_decode_conv",
+        )(x6_inter)
+
+        return DecoderFuse(
+            num_cls=self.num_cls, depth_mode=self.depth_mode, dtype=self.dtype,
+            name="decoder",
+        )(fused_x1, fused_x2, fused_x3, fused_x4, x6_inter, train)

@@ -1,0 +1,192 @@
+"""Inflated ResNet50 3-D encoder (reference: mmvit4.py:83-212 Encoder /
+Bottleneck3D / inflate_conv).
+
+The reference builds a torchvision ResNet50, inflates its 2-D convs to
+Conv3d (stem kernel (3,7,7) stride (1,2,2); every bottleneck conv with
+time_dim=1) and adds per-level 1x1 ``adapt`` convs plus a multiscale ``x6``
+bottleneck. Two load-bearing quirks are preserved:
+
+  * the stem applies conv -> ReLU -> BatchNorm in that order
+    (``self.e1_bn(self.e1_relu(x1))``, mmvit4.py:173);
+  * although the encoder is built from *pretrained* weights, MMVit4's
+    constructor immediately re-initializes every Conv3d with kaiming-normal
+    (mmvit4.py:437-439), so the effective init is kaiming-normal — which is
+    the default here. A converted-weight loading path can override params
+    for experiments that skip the re-init.
+
+TPU-first: all activations are channels-last (B, D, H, W, C); bottleneck
+convs have depth-kernel 1 and are automatically folded into big batched 2-D
+convs by ``nn.Conv`` (depth folded into batch), which is how a depth-3
+volume maps efficiently onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from corrifnet_tpu.nn import BatchNorm, Conv, max_pool, resize_linear
+from corrifnet_tpu.nn import init as tinit
+
+__all__ = ["ResNet3DEncoder", "BASIC_DIMS"]
+
+BASIC_DIMS = 8  # mmvit4.py:10
+# ResNet50: (blocks, width) per layer, expansion 4 (torchvision resnet50).
+_LAYERS = ((3, 64), (4, 128), (6, 256), (3, 512))
+_EXPANSION = 4
+
+Dtype = Any
+
+
+class Bottleneck3D(fnn.Module):
+    """1x1 reduce -> (1,3,3) spatial -> 1x1 expand, residual (mmvit4.py:196-212)."""
+
+    width: int
+    stride: int = 1
+    has_downsample: bool = False
+    dtype: Dtype = None
+
+    @fnn.compact
+    def __call__(self, x, train: bool = True):
+        out_ch = self.width * _EXPANSION
+        identity = x
+        y = Conv(
+            self.width, (1, 1, 1), use_bias=False,
+            kernel_init=tinit.kaiming_normal, dtype=self.dtype, name="conv1",
+        )(x)
+        y = BatchNorm(dtype=self.dtype, name="bn1")(y, use_running_average=not train)
+        y = jax.nn.relu(y)
+        y = Conv(
+            self.width, (1, 3, 3), strides=(1, self.stride, self.stride),
+            padding=(0, 1, 1), use_bias=False,
+            kernel_init=tinit.kaiming_normal, dtype=self.dtype, name="conv2",
+        )(y)
+        y = BatchNorm(dtype=self.dtype, name="bn2")(y, use_running_average=not train)
+        y = jax.nn.relu(y)
+        y = Conv(
+            out_ch, (1, 1, 1), use_bias=False,
+            kernel_init=tinit.kaiming_normal, dtype=self.dtype, name="conv3",
+        )(y)
+        y = BatchNorm(dtype=self.dtype, name="bn3")(y, use_running_average=not train)
+        if self.has_downsample:
+            identity = Conv(
+                out_ch, (1, 1, 1), strides=(1, self.stride, self.stride),
+                use_bias=False, kernel_init=tinit.kaiming_normal,
+                dtype=self.dtype, name="down_conv",
+            )(x)
+            identity = BatchNorm(dtype=self.dtype, name="down_bn")(
+                identity, use_running_average=not train
+            )
+        return jax.nn.relu(y + identity)
+
+
+class _TailBody(fnn.Module):
+    """scan body: one stride-1 bottleneck (train is a static attribute)."""
+
+    width: int
+    train: bool
+    dtype: Dtype = None
+
+    @fnn.compact
+    def __call__(self, x, _):
+        y = Bottleneck3D(
+            width=self.width, stride=1, has_downsample=False, dtype=self.dtype,
+            name="block",
+        )(x, self.train)
+        return y, None
+
+
+class _BottleneckTail(fnn.Module):
+    """n identical bottlenecks rolled into nn.scan (stacked params)."""
+
+    width: int
+    n: int
+    train: bool
+    dtype: Dtype = None
+
+    @fnn.compact
+    def __call__(self, x):
+        Scanned = fnn.scan(
+            _TailBody,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True},
+            length=self.n,
+        )
+        y, _ = Scanned(
+            width=self.width, train=self.train, dtype=self.dtype, name="blocks"
+        )(x, None)
+        return y
+
+
+class ResNet3DEncoder(fnn.Module):
+    """Per-modality encoder returning (x1..x5 adapted levels, x6 bottleneck).
+
+    Input: (B, D=3, H, W, C=1) channels-last volume (one spectral modality,
+    its 3 bands on the depth axis). Outputs channels-last volumes with
+    channel counts 8/16/32/64/64 and the 64-ch x6 at (8, 8, 8)
+    (mmvit4.py:159-194).
+    """
+
+    dtype: Dtype = None
+
+    @fnn.compact
+    def __call__(self, x, train: bool = True) -> Tuple[jnp.ndarray, ...]:
+        bd = BASIC_DIMS
+        # Stem: inflated conv1 (3,7,7)/(1,2,2), then ReLU BEFORE BatchNorm
+        # (mmvit4.py:170-174), then MaxPool3d((1,3,3),(1,2,2),(0,1,1)).
+        y = Conv(
+            64, (3, 7, 7), strides=(1, 2, 2), padding=(1, 3, 3), use_bias=False,
+            kernel_init=tinit.kaiming_normal, dtype=self.dtype, name="stem_conv",
+        )(x)
+        y = jax.nn.relu(y)
+        y = BatchNorm(dtype=self.dtype, name="stem_bn")(y, use_running_average=not train)
+        x1 = max_pool(y, (1, 3, 3), (1, 2, 2), (0, 1, 1))
+
+        feats = [x1]
+        y = x1
+        for li, (blocks, width) in enumerate(_LAYERS):
+            # first block carries the stride + projection downsample
+            y = Bottleneck3D(
+                width=width,
+                stride=2 if li > 0 else 1,
+                has_downsample=True,
+                dtype=self.dtype,
+                name=f"layer{li + 1}_block0",
+            )(y, train)
+            # identical-shape tail blocks roll into one lax.scan — same math,
+            # ~3x smaller HLO (compile time) than unrolled blocks
+            if blocks > 1:
+                y = _BottleneckTail(
+                    width=width,
+                    n=blocks - 1,
+                    train=train,
+                    dtype=self.dtype,
+                    name=f"layer{li + 1}_tail",
+                )(y)
+            feats.append(y)
+        x1, x2, x3, x4, x5 = feats
+
+        # Per-level 1x1 adapt convs to basic_dims multiples (mmvit4.py:164-168).
+        adapt_ch = (bd, bd * 2, bd * 4, bd * 8, bd * 8)
+        adapted = []
+        for i, (f, c) in enumerate(zip(feats, adapt_ch)):
+            adapted.append(
+                Conv(
+                    c, (1, 1, 1), kernel_init=tinit.kaiming_normal,
+                    dtype=self.dtype, name=f"adapt{i + 1}",
+                )(f)
+            )
+        a1, a2, a3, a4, a5 = adapted
+
+        # x6: trilinear-resize all levels to 8^3 (align_corners=True,
+        # mmvit4.py:187-191), concat (184 ch), 1x1 conv to 64 ch.
+        pooled = [resize_linear(a, (8, 8, 8), align_corners=True) for a in adapted]
+        x6 = jnp.concatenate(pooled, axis=-1)
+        x6 = Conv(
+            bd * 8, (1, 1, 1), kernel_init=tinit.kaiming_normal,
+            dtype=self.dtype, name="conv6",
+        )(x6)
+        return a1, a2, a3, a4, a5, x6

@@ -69,6 +69,9 @@ class Conv(fnn.Module):
         ks = _tuple(self.kernel_size, nsp)
         st = _tuple(self.strides, nsp)
         pd = _tuple(self.padding, nsp)
+        # Each padding entry may be an int (symmetric) or a (lo, hi) pair
+        # (used by the depth-pruned decoder for top-edge-only padding).
+        pd = tuple((p, p) if isinstance(p, int) else tuple(p) for p in pd)
         dl = _tuple(self.dilation, nsp)
         in_ch = x.shape[-1]
         assert in_ch % self.groups == 0
@@ -85,13 +88,13 @@ class Conv(fnn.Module):
         x = x.astype(cdtype)
         kernel = kernel.astype(cdtype)
 
-        if self.pad_mode != "zeros" and any(pd):
-            cfg = [(0, 0)] + [(p, p) for p in pd] + [(0, 0)]
+        if self.pad_mode != "zeros" and any(lo or hi for lo, hi in pd):
+            cfg = [(0, 0)] + list(pd) + [(0, 0)]
             mode = {"replicate": "edge", "reflect": "reflect"}[self.pad_mode]
             x = jnp.pad(x, cfg, mode=mode)
             pad_cfg = [(0, 0)] * nsp
         else:
-            pad_cfg = [(p, p) for p in pd]
+            pad_cfg = list(pd)
 
         # Fold trivial leading spatial dims (kernel 1, stride 1, no pad, no
         # dilation) into batch: turns depth-1-kernel 3-D convs into 2-D convs.
@@ -124,8 +127,7 @@ class Conv(fnn.Module):
             rhs_dilation=dl_,
             dimension_numbers=dn,
             feature_group_count=self.groups,
-            preferred_element_type=jnp.float32,
-        )
+        )  # XLA accumulates low-precision convs in f32 on the MXU
         if fold:
             y = y.reshape(*orig_shape[: 1 + fold], *y.shape[1:])
         if bias is not None:
@@ -156,11 +158,7 @@ class Dense(fnn.Module):
             "kernel", self.kernel_init, (in_ch, self.features), jnp.float32
         )
         cdtype = self.dtype or x.dtype
-        y = jnp.dot(
-            x.astype(cdtype),
-            kernel.astype(cdtype),
-            preferred_element_type=jnp.float32,
-        ).astype(cdtype)
+        y = jnp.dot(x.astype(cdtype), kernel.astype(cdtype))
         if self.use_bias:
             bias = self.param(
                 "bias", tinit.torch_default_bias(in_ch), (self.features,), jnp.float32

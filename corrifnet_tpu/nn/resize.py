@@ -32,6 +32,8 @@ __all__ = [
     "max_pool",
     "avg_pool",
     "upsample_bilinear_2d",
+    "resize_linear_depth_prefix",
+    "resize_nearest_depth_prefix",
 ]
 
 
@@ -133,6 +135,38 @@ def avg_pool(x, window, strides=None, padding=None, count_include_pad=True):
         counts = _pool(ones, window, strides, padding, 0.0, jax.lax.add)
         out = summed / counts
     return out.astype(x.dtype)
+
+
+def resize_linear_depth_prefix(
+    x, src_d_full: int, dst_d_full: int, d_prefix: int, hw_size, align_corners=True
+):
+    """Trilinear resize computing only the first ``d_prefix`` depth slices.
+
+    Exact (same interpolation weights as the full resize, just fewer output
+    rows) — used by the depth-pruned MMVit4 decoder where only the leading
+    depth slices reach the final output. ``x`` is (B, D', H, W, C) where D'
+    may already be a prefix of ``src_d_full``; asserts the prefix contains
+    every source slice the requested output rows touch.
+    """
+    w_full = _linear_matrix(src_d_full, dst_d_full, align_corners)
+    w = w_full[:d_prefix]
+    needed = int(np.max(np.nonzero(np.any(w != 0, axis=0))[0])) + 1
+    assert needed <= x.shape[1], (
+        f"depth prefix {x.shape[1]} too small: need {needed} source slices"
+    )
+    wj = jnp.asarray(w[:, : x.shape[1]], dtype=jnp.float32)
+    y = jnp.tensordot(wj, x.astype(jnp.float32), axes=[[1], [1]])
+    y = jnp.moveaxis(y, 0, 1)  # (B, d_prefix, H, W, C)
+    y = resize_linear(y, (d_prefix, *hw_size), align_corners=align_corners)
+    return y.astype(x.dtype)
+
+
+def resize_nearest_depth_prefix(x, dst_d_full: int, d_prefix: int, hw_size):
+    """Nearest resize computing only the first ``d_prefix`` depth slices."""
+    src_d = x.shape[1]
+    idx = _nearest_indices(src_d, dst_d_full)[:d_prefix]
+    y = jnp.take(x, jnp.asarray(idx), axis=1)
+    return resize_nearest(y, (d_prefix, *hw_size))
 
 
 def upsample_bilinear_2d(x, scale: int, align_corners: bool = True):

@@ -50,16 +50,12 @@ class SelfAttention(fnn.Module):
         qkv = qkv.reshape(b, n, 3, h, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        attn = jnp.einsum(
-            "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
         attn = fnn.Dropout(self.dropout_rate, name="attn_drop")(
             attn, deterministic=deterministic
         )
-        out = jnp.einsum(
-            "bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32
-        ).astype(q.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         out = Dense(c, dtype=self.dtype, name="proj")(out)
         out = fnn.Dropout(self.dropout_rate, name="proj_drop")(

@@ -1,0 +1,115 @@
+"""Batch re-evaluation of saved runs — allJaccardResults_irem_f1_jcrd.py
+equivalent.
+
+The reference walks an experiment manifest (alternating run-name / path
+lines, allJaccardResults:45-52), parses each run's dated log for
+fold/model info (:80-95), rebuilds the model, restores
+``Finaliremmodel*.pt`` and recomputes *per-image* Jaccard2 + F1 over the
+test fold at batch size 1, reporting mean ± std (:197-240).
+
+Here: manifest -> per-run orbax restore -> vmapped per-image metrics in one
+jitted batch pass (no batch=1 loop needed on TPU).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from corrifnet_tpu.config import load_config
+from corrifnet_tpu.data import batch_iterator, cross_val, load_dstl
+from corrifnet_tpu.metrics import jaccard_f1_pair
+from corrifnet_tpu.models import create_model, get_spec
+from corrifnet_tpu.train import Checkpointer, final_ckpt_name, init_state, make_optimizer
+
+__all__ = ["evaluate_run", "read_manifest", "main"]
+
+
+def read_manifest(path):
+    """Alternating run-name / run-dir lines (allJaccardResults:45-52)."""
+    lines = [ln.strip() for ln in Path(path).read_text().splitlines() if ln.strip()]
+    return list(zip(lines[0::2], lines[1::2]))
+
+
+def per_image_metrics(model, params, batch_stats, images, masks, indices,
+                      batch_size=8):
+    """Per-image (jaccard2, f1) over ``indices`` (allJaccardResults:208-240)."""
+    @jax.jit
+    def step(im, ma):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, im, False
+        ).astype(jnp.float32)
+        m0 = ma[:, 0, ...].reshape(ma.shape[0], -1, 1)
+        o0 = out[:, 0, ...].reshape(out.shape[0], -1, 1)
+        return jax.vmap(jaccard_f1_pair)(m0, o0)
+
+    jacks, f1s = [], []
+    for batch in batch_iterator(images, masks, indices, batch_size):
+        j, f = step(batch.images, batch.masks)
+        keep = batch.valid.astype(bool)
+        jacks.append(np.asarray(j).reshape(-1)[keep])
+        f1s.append(np.asarray(f).reshape(-1)[keep])
+    jacks = np.concatenate(jacks)
+    f1s = np.concatenate(f1s)
+    return jacks, f1s
+
+
+def evaluate_run(run_dir, cfg, index: int = 0):
+    tsind, trind, _ = cross_val(cfg.train_set_size, cfg.fno, cfg.fsiz)
+    data = load_dstl(
+        cfg.train_set_size, trind,
+        pack_path=cfg.data_pack, synthetic_seed=cfg.synthetic_seed,
+    )
+    spec = get_spec(cfg.modeltype)
+    model = create_model(cfg.modeltype, dtype=cfg.jax_dtype)
+    images = data.images if spec.input_kind == "5d" else data.images[:, 0]
+    masks = data.masks if spec.input_kind == "5d" else data.masks[:, 0]
+
+    state = init_state(
+        model, jax.random.PRNGKey(0), images[:1], make_optimizer("Adam")
+    )
+    ckpt = Checkpointer(run_dir)
+    params, batch_stats = ckpt.restore(
+        final_ckpt_name(index),
+        {"params": state.params, "batch_stats": state.batch_stats},
+    )
+    jacks, f1s = per_image_metrics(model, params, batch_stats, images, masks, tsind)
+    return {
+        "jaccard_mean": float(jacks.mean()),
+        "jaccard_std": float(jacks.std()),
+        "f1_mean": float(f1s.mean()),
+        "f1_std": float(f1s.std()),
+        "n_images": int(len(jacks)),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--manifest", help="alternating name/dir lines")
+    ap.add_argument("--run-dir")
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--index", type=int, default=0)
+    args = ap.parse_args(argv)
+    cfg = load_config(args.config)
+    runs = (
+        read_manifest(args.manifest)
+        if args.manifest
+        else [("run", args.run_dir)]
+    )
+    results = {}
+    for name, run_dir in runs:
+        r = evaluate_run(run_dir, cfg, args.index)
+        results[name] = r
+        print(
+            f"{name}: jaccard {r['jaccard_mean']:.5f}±{r['jaccard_std']:.5f} "
+            f"f1 {r['f1_mean']:.5f}±{r['f1_std']:.5f} (n={r['n_images']})"
+        )
+    return results
+
+
+if __name__ == "__main__":
+    main()

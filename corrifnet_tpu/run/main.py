@@ -1,0 +1,210 @@
+"""Experiment driver — the F2_MAIN.py equivalent.
+
+Flow (F2_MAIN.py:45-313): read config -> CrossVal fold split -> load/normalize
+data -> build model by ``modeltype`` -> init or warm-start weights -> Adam/SGD
++ StepLR -> dated run directory with the seven log files -> train (per-epoch
+checkpoint + validate) -> test (+ segplot on the first test image) -> dated
+human-readable summary log -> learning/accuracy-curve PNGs.
+
+Usage:
+    python -m corrifnet_tpu.run.main --config experiments/model0.txt \
+        [--run-root experiments] [--index 0] [--synthetic-seed 0]
+
+Differences from the reference, by design:
+  * data paths come from the config/CLI instead of hard-coded Windows paths
+    (F8_IMAGES4.py:20-32); a synthetic generator stands in when no DSTL data
+    is present;
+  * runs on whatever jax.devices() provides (TPU first-class) instead of
+    ``cuda:0``;
+  * curve PNGs are written via matplotlib when available, else skipped.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from corrifnet_tpu.config import ExperimentConfig, load_config
+from corrifnet_tpu.data import batch_iterator, cross_val, load_dstl
+from corrifnet_tpu.models import create_model, get_spec
+from corrifnet_tpu.run.segplot import segplot
+from corrifnet_tpu.train import (
+    Checkpointer,
+    init_state,
+    make_optimizer,
+    test_model,
+    train_model,
+)
+from corrifnet_tpu.utils.logfiles import RunLogs
+
+__all__ = ["run_experiment", "main"]
+
+
+def _build_model(cfg: ExperimentConfig):
+    spec = get_spec(cfg.modeltype)
+    kwargs = {}
+    if cfg.modeltype == "MMVit4":
+        kwargs = dict(
+            dtype=cfg.jax_dtype,
+            use_pallas=cfg.use_pallas,
+            depth_mode=cfg.depth_mode,
+        )
+    else:
+        kwargs = dict(dtype=cfg.jax_dtype)
+    return create_model(cfg.modeltype, **kwargs), spec
+
+
+def _prepare_images(images, spec):
+    """5-D models take (B,3,3,H,W); 4-D models take the RGB modality only
+    (the reference's single-modality zoo trains on 4-D tensors from
+    F8_IMAGES/F8_IMAGES2; RGB slice keeps shapes consistent here)."""
+    if spec.input_kind == "4d":
+        return images[:, 0]
+    return images
+
+
+def run_experiment(cfg: ExperimentConfig, run_root=".", index: int = 0):
+    begin = datetime.datetime.now()
+    print("devices:", jax.devices())
+
+    tsind, trind, vlind = cross_val(cfg.train_set_size, cfg.fno, cfg.fsiz)
+    data = load_dstl(
+        cfg.train_set_size,
+        trind,
+        rgb_dir=(cfg.data_dirs or {}).get("rgb"),
+        all20_dir=(cfg.data_dirs or {}).get("all20"),
+        mask_dir=(cfg.data_dirs or {}).get("mask"),
+        pack_path=cfg.data_pack,
+        synthetic_seed=cfg.synthetic_seed,
+    )
+
+    model, spec = _build_model(cfg)
+    images = _prepare_images(data.images, spec)
+    masks = data.masks if spec.input_kind == "5d" else data.masks[:, 0]
+
+    optimizer = make_optimizer(cfg.optimizer_type)
+    rng = jax.random.PRNGKey(cfg.seed)
+    rng, init_rng = jax.random.split(rng)
+    sample = images[: cfg.mini_batch_size]
+    state = init_state(model, init_rng, sample, optimizer)
+
+    d = datetime.datetime.now()
+    run_dir = Path(run_root) / (
+        f"{d.year}_{d.month}_{d.day}_{d.hour}_{d.minute}_model{index}"
+    )
+    run_dir.mkdir(parents=True, exist_ok=True)
+    logs = RunLogs.open(run_dir)
+    ckpt = Checkpointer(run_dir)
+
+    state, history = train_model(
+        model, state, optimizer,
+        n_epochs=cfg.n_epochs, learn_rate=cfg.learn_rate,
+        step_size=cfg.step_size, gamma=cfg.gamma,
+        images=images, masks=masks, trind=trind, vlind=vlind,
+        batch_size=cfg.mini_batch_size, lim=cfg.lim,
+        logs=logs, ckpt=ckpt, i=index, rng=rng,
+        val_from_checkpoint=cfg.val_from_checkpoint,
+    )
+
+    test_loss, test_jac, fps, first_outputs = test_model(
+        model, state, images, masks, tsind,
+        cfg.mini_batch_size, cfg.lim, logs, ckpt, i=index,
+    )
+
+    # First-test-image overlay (F7_TEST2.py:136-166).
+    if first_outputs is not None and spec.input_kind == "5d":
+        first_idx = tsind[0]
+        img_hwc = np.moveaxis(data.images[first_idx, 0], 0, -1)  # RGB (H,W,3)
+        pred = first_outputs[0, 0, 0]  # (H, W)
+        gt = masks[first_idx, 0, 0]
+        segplot(run_dir, cfg.lim, img_hwc, pred, gt,
+                data.tr_mean_r, data.tr_mean_g, data.tr_mean_b)
+
+    logs.close()
+    _write_summary_log(run_dir, cfg, begin, trind, vlind, test_jac, model)
+    _write_curves(run_dir, history)
+    ckpt.close()
+    return {
+        "run_dir": str(run_dir),
+        "test_loss": test_loss,
+        "test_jaccard": test_jac,
+        "fps": fps,
+        "history": history,
+    }
+
+
+def _write_summary_log(run_dir, cfg, begin, trind, vlind, test_jac, model):
+    """Dated human-readable summary (F2_MAIN.py:258-287)."""
+    a = datetime.datetime.now()
+    path = Path(run_dir) / f"{a.year}_{a.month}_{a.day}_{a.hour}_{a.minute}.txt"
+    with open(path, "w") as f:
+        f.write("Date:" + str(datetime.date.today()) + "\n")
+        f.write(f"Ending Time:{a.hour}:{a.minute}\n")
+        f.write(f"Starting Time:{begin.hour}:{begin.minute}\n")
+        f.write("Data set size:" + str(cfg.train_set_size) + "\n")
+        f.write("Fold number:" + str(cfg.fno) + "\n")
+        f.write("Fold number:" + str(cfg.fsiz) + "\n")
+        f.write("Number of validation images:" + str(len(vlind)) + "\n")
+        f.write("Number of training images:" + str(len(trind)) + "\n")
+        f.write("Mini batch size:" + str(cfg.mini_batch_size) + "\n")
+        f.write("Type of initialization:" + cfg.initialization + "\n")
+        f.write("Test accuracy:" + str([test_jac]) + "\n")
+        f.write("Learning rate:" + str(cfg.learn_rate) + "\n")
+        f.write("Model version:" + str(cfg.modeltype) + "\n")
+        f.write("Optimizer type:" + cfg.optimizer_type + "\n")
+        f.write("Total number of epochs:" + str(cfg.n_epochs) + "\n")
+        f.write("Training loss function:" + str(cfg.trainloss) + "\n")
+        f.write("Validation loss function:" + str(cfg.validationloss) + "\n")
+        f.write("Accuracy function:" + str(cfg.accuracy) + "\n")
+        f.write("Channel index:" + str(cfg.chindex) + "\n")
+        f.write("Transfer:" + str(cfg.transfertype) + "\n")
+        f.write("Model Summary:\n" + repr(model) + "\n")
+
+
+def _write_curves(run_dir, history):
+    """learning/accuracy curve PNGs (F2_MAIN.py:290-304)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    plt.figure()
+    plt.plot(history["train_loss"], "k-", label="Train Loss")
+    plt.plot(history["val_loss"], "r--", label="Validation Loss")
+    plt.title("Learning Curves")
+    plt.legend(loc="upper left")
+    plt.savefig(Path(run_dir) / "learning_curves.png")
+    plt.close()
+    plt.figure()
+    plt.plot(history["train_jac"], "k-", label="Train Accuracy")
+    plt.plot(history["val_jac"], "r--", label="Validation Accuracy")
+    plt.title("Accuracy Curves")
+    plt.legend(loc="upper left", bbox_to_anchor=(1, 1))
+    plt.savefig(Path(run_dir) / "accuracy_curves.png", bbox_inches="tight")
+    plt.close()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--run-root", default=".")
+    ap.add_argument("--index", type=int, default=0)
+    ap.add_argument("--synthetic-seed", type=int, default=None)
+    args = ap.parse_args(argv)
+    cfg = load_config(args.config)
+    if args.synthetic_seed is not None:
+        cfg.synthetic_seed = args.synthetic_seed
+    result = run_experiment(cfg, args.run_root, args.index)
+    print("test jaccard:", result["test_jaccard"], "fps:", result["fps"])
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,207 @@
+"""Training / validation / test loops (reference: F4_TRAIN.py, F7_TEST2.py).
+
+Epoch flow mirrors ``train_model`` (F4_TRAIN.py:39-86): per epoch the
+(epoch-start-stepped) StepLR value is logged, every batch runs one jitted
+train step accumulating batch losses and batchLoad-weighted Jaccard2, the
+epoch checkpoint ``iremmodel{i}`` is written, and validation runs; after all
+epochs ``Finaliremmodel{i}`` is saved. Validation reproduces the reference's
+restore-every-epoch semantics (``validate`` reloads the just-saved
+checkpoint into a fresh state, F4_TRAIN.py:96-180) behind
+``val_from_checkpoint`` (default True for parity; False skips the disk
+round-trip).
+
+Test (F7_TEST2.py:38-184) restores the final checkpoint, accumulates
+loss/Jaccard over the test fold, measures wall-clock FPS (the reference
+started a timer at F7_TEST2.py:135 but never wrote fpsfile.txt — here the
+FPS is actually written), and returns the first batch's outputs for
+visualization (segplot hook).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from corrifnet_tpu.data.dataset import batch_iterator
+from corrifnet_tpu.train.checkpoint import (
+    Checkpointer,
+    epoch_ckpt_name,
+    final_ckpt_name,
+)
+from corrifnet_tpu.train.schedule import step_lr, step_lr_reported
+from corrifnet_tpu.train.state import (
+    TrainState,
+    make_eval_step,
+    make_train_step,
+)
+from corrifnet_tpu.utils.logfiles import RunLogs
+
+__all__ = ["train_model", "validate", "test_model"]
+
+
+def _run_eval(eval_step, params, batch_stats, images, masks, indices, batch_size, lim):
+    """Shared eval loop: (mean loss, weighted Jaccard, first-batch outputs)."""
+    losses, jI, total = [], 0.0, 0.0
+    first_outputs = None
+    for batch in batch_iterator(images, masks, indices, batch_size):
+        m = eval_step(params, batch_stats, batch.images, batch.masks, batch.valid)
+        losses.append(float(m["loss"]))
+        n_valid = float(m["n_valid"])
+        batch_load = n_valid * lim * lim
+        jI += float(m["jaccard"]) * batch_load
+        total += batch_load
+        if first_outputs is None:
+            first_outputs = np.asarray(m["outputs"])
+    return float(np.mean(losses)), jI / total, first_outputs
+
+
+def validate(
+    eval_step,
+    state: TrainState,
+    images,
+    masks,
+    vlind,
+    batch_size,
+    lim,
+    logs: Optional[RunLogs],
+    ckpt: Optional[Checkpointer] = None,
+    i: int = 0,
+    val_from_checkpoint: bool = True,
+):
+    """F4_TRAIN.py:90-208. Optionally restores the epoch checkpoint from
+    disk (the reference's accidental end-to-end save/load test, :180)."""
+    params, batch_stats = state.params, state.batch_stats
+    if val_from_checkpoint and ckpt is not None:
+        params, batch_stats = ckpt.restore(
+            epoch_ckpt_name(i), {"params": params, "batch_stats": batch_stats}
+        )
+    val_loss, val_jac, _ = _run_eval(
+        eval_step, params, batch_stats, images, masks, vlind, batch_size, lim
+    )
+    if logs is not None:
+        logs.val.write(str(val_loss) + "\n")
+        logs.valacc.write(str(val_jac) + "\n")
+        logs.lr.write("Validation loss:" + str(val_loss) + "\n")
+        logs.lr.write("Validation accuracy:" + str(val_jac) + "\n")
+    print("Validation Jaccard:", val_jac)
+    return val_loss, val_jac
+
+
+def train_model(
+    model,
+    state: TrainState,
+    optimizer,
+    n_epochs: int,
+    learn_rate: float,
+    step_size: int,
+    gamma: float,
+    images,
+    masks,
+    trind,
+    vlind,
+    batch_size: int,
+    lim: int,
+    logs: Optional[RunLogs],
+    ckpt: Optional[Checkpointer],
+    i: int = 0,
+    rng=None,
+    val_from_checkpoint: bool = True,
+    checkpoint_every_epoch: bool = True,
+):
+    """F4_TRAIN.py:39-86 equivalent. Returns the final TrainState."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    train_step = make_train_step(model, optimizer)
+    eval_step = make_eval_step(model)
+
+    history = {"train_loss": [], "train_jac": [], "val_loss": [], "val_jac": []}
+    for epoch in range(n_epochs):
+        lr = step_lr(learn_rate, step_size, gamma, epoch)
+        lr_rep = step_lr_reported(learn_rate, step_size, gamma, epoch)
+        print("Epoch:", epoch, "LR:", [lr_rep])
+        if logs is not None:
+            logs.lr.write(f"Epoch: {epoch} LR: [{lr_rep}]\n")
+            logs.lr.write(
+                str({
+                    "step_size": step_size, "gamma": gamma,
+                    "base_lrs": [learn_rate], "last_epoch": epoch + 1,
+                    "_last_lr": [lr],
+                }) + "\n"
+            )
+
+        batch_losses, jI, total = [], 0.0, 0.0
+        for batch in batch_iterator(images, masks, trind, batch_size):
+            rng, sub = jax.random.split(rng)
+            state, m = train_step(
+                state, batch.images, batch.masks, batch.valid, lr, sub
+            )
+            batch_losses.append(float(m["loss"]))
+            n_valid = float(m["n_valid"])
+            batch_load = n_valid * lim * lim
+            jI += float(m["jaccard"]) * batch_load
+            total += batch_load
+
+        train_loss = float(np.mean(batch_losses))
+        train_jac = jI / total
+        history["train_loss"].append(train_loss)
+        history["train_jac"].append(train_jac)
+        if logs is not None:
+            logs.train.write(str(train_loss) + "\n")
+            logs.trainacc.write(str(train_jac) + "\n")
+            logs.trainepoch.write(str(epoch) + "\n")
+            logs.lr.write("Training loss:" + str(train_loss) + "\n")
+            logs.lr.write("Training accuracy:" + str(train_jac) + "\n")
+        print("Training Jaccard:", train_jac, " (epoch:", epoch, ")")
+
+        if checkpoint_every_epoch and ckpt is not None:
+            ckpt.save(epoch_ckpt_name(i), state.params, state.batch_stats)
+        val_loss, val_jac = validate(
+            eval_step, state, images, masks, vlind, batch_size, lim, logs,
+            ckpt if checkpoint_every_epoch else None, i, val_from_checkpoint,
+        )
+        history["val_loss"].append(val_loss)
+        history["val_jac"].append(val_jac)
+        if logs is not None:
+            logs.flush()
+
+    if ckpt is not None:
+        ckpt.save(final_ckpt_name(i), state.params, state.batch_stats)
+    return state, history
+
+
+def test_model(
+    model,
+    state_template: TrainState,
+    images,
+    masks,
+    tsind,
+    batch_size,
+    lim,
+    logs: Optional[RunLogs],
+    ckpt: Optional[Checkpointer],
+    i: int = 0,
+):
+    """F7_TEST2.py:38-184 equivalent: restore Finaliremmodel{i}, evaluate,
+    write testFile/testaccFile + FPS, return first-batch outputs."""
+    eval_step = make_eval_step(model)
+    params, batch_stats = state_template.params, state_template.batch_stats
+    if ckpt is not None and ckpt.exists(final_ckpt_name(i)):
+        params, batch_stats = ckpt.restore(
+            final_ckpt_name(i), {"params": params, "batch_stats": batch_stats}
+        )
+    start = time.time()
+    test_loss, test_jac, first_outputs = _run_eval(
+        eval_step, params, batch_stats, images, masks, tsind, batch_size, lim
+    )
+    elapsed = time.time() - start
+    fps = len(tsind) / elapsed if elapsed > 0 else 0.0
+    if logs is not None:
+        logs.test.write(str(test_loss) + "\n")
+        logs.testacc.write(str(test_jac) + "\n")
+        if ckpt is not None:
+            with open(ckpt.run_dir / "fpsfile.txt", "w") as f:
+                f.write(str(fps) + "\n")
+    print("Test Jaccard:", test_jac, "FPS:", fps)
+    return test_loss, test_jac, fps, first_outputs

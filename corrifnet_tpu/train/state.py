@@ -1,0 +1,136 @@
+"""Train state + jitted train/eval steps (reference: F4_TRAIN.py:39-208).
+
+Parity-preserving semantics baked into the steps:
+  * loss = BCE-with-logits applied to the model's sigmoid output (the
+    reference's double-sigmoid composition, F4_TRAIN.py:58-60);
+  * accuracy = soft Jaccard2 on the first modality channel, flattened to a
+    (batchLoad, 1) column and weighted by batchLoad = n_valid * lim * lim
+    (F4_TRAIN.py:65-71) — padded samples masked out;
+  * optimizer: torch-default Adam (betas 0.9/0.999, eps 1e-8) or plain SGD
+    (F2_MAIN.py:168-173); LR passed per step from train.schedule (epoch-start
+    StepLR); optimizer state is NOT checkpointed (the reference only saves
+    ``model.state_dict()``, F4_TRAIN.py:84).
+
+TPU-first: a single jitted step updates params/opt-state in place
+(donated); under a ``jax.sharding.Mesh`` the batch is sharded along the
+``data`` axis and selected transformer matmuls along ``model`` (see
+``corrifnet_tpu.parallel``) — XLA inserts the psum/all-gather collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from corrifnet_tpu.metrics import bce_with_logits, jaccard2_masked
+
+__all__ = ["TrainState", "make_optimizer", "make_train_step", "make_eval_step",
+           "init_state"]
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(kind: str) -> optax.GradientTransformation:
+    """LR-less transform; the step scales by the per-epoch LR (StepLR)."""
+    if kind == "Adam":
+        return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    if kind == "SGD":
+        return optax.identity()
+    raise ValueError(f"unknown optimizerType {kind!r}")
+
+
+def init_state(model, rng, sample_images, optimizer) -> TrainState:
+    variables = jax.jit(
+        functools.partial(model.init, train=False), static_argnames=()
+    )({"params": rng}, sample_images)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _masked_loss_and_jaccard(outputs, masks, valid):
+    """(mean BCE over valid elements, batch Jaccard2, n_valid)."""
+    b = masks.shape[0]
+    vmask = valid.reshape((b,) + (1,) * (masks.ndim - 1))
+    per = jnp.maximum(outputs, 0.0) - outputs * masks + jnp.log1p(
+        jnp.exp(-jnp.abs(outputs))
+    )
+    elems_per_sample = 1
+    for s in masks.shape[1:]:
+        elems_per_sample *= s
+    n_valid = valid.sum()
+    loss = (per * vmask).sum() / (n_valid * elems_per_sample)
+
+    # channel-0 slice before metrics (F4_TRAIN.py:68-69)
+    m0 = masks[:, 0, ...].reshape(b, -1)
+    o0 = outputs[:, 0, ...].reshape(b, -1)
+    ve = jnp.broadcast_to(valid[:, None], m0.shape)
+    jac = jaccard2_masked(
+        m0.reshape(-1, 1), o0.reshape(-1, 1), ve.reshape(-1, 1)
+    )[0]
+    return loss, jac, n_valid
+
+
+def make_train_step(model, optimizer) -> Callable:
+    """Returns jitted f(state, images, masks, valid, lr, rng) ->
+    (state, metrics) with metrics = dict(loss, jaccard, n_valid)."""
+
+    def step(state: TrainState, images, masks, valid, lr, rng):
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            out = out.astype(jnp.float32)
+            loss, jac, n_valid = _masked_loss_and_jaccard(out, masks, valid)
+            return loss, (mut["batch_stats"], jac, n_valid)
+
+        (loss, (new_bs, jac, n_valid)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(
+            lambda p, u: p - lr * u, state.params, updates
+        )
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, {"loss": loss, "jaccard": jac, "n_valid": n_valid}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(model) -> Callable:
+    """Returns jitted f(params, batch_stats, images, masks, valid) ->
+    metrics dict. Eval mode: running BN stats, no dropout (model.eval())."""
+
+    def step(params, batch_stats, images, masks, valid):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, images, False
+        ).astype(jnp.float32)
+        loss, jac, n_valid = _masked_loss_and_jaccard(out, masks, valid)
+        return {"loss": loss, "jaccard": jac, "n_valid": n_valid, "outputs": out}
+
+    return jax.jit(step)

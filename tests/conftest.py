@@ -14,3 +14,9 @@ os.environ["XLA_FLAGS"] = (
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon site hook (PYTHONPATH sitecustomize) forces the TPU platform even
+# when JAX_PLATFORMS=cpu is set; override through jax.config, which wins.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

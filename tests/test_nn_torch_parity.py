@@ -1,0 +1,125 @@
+"""Building-block parity vs PyTorch layers (weights copied both ways)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from corrifnet_tpu.nn import BatchNorm, Conv, Dense, InstanceNorm, LayerNorm
+
+torch = pytest.importorskip("torch")
+
+
+def _vol(shape, seed=0):
+    return np.random.default_rng(seed).normal(0, 1, shape).astype(np.float32)
+
+
+def test_conv3d_matches_torch_zeros_pad():
+    x = _vol((2, 3, 10, 10, 4))
+    tconv = torch.nn.Conv3d(4, 6, (1, 3, 3), stride=(1, 2, 2), padding=(0, 1, 1))
+    conv = Conv(6, (1, 3, 3), strides=(1, 2, 2), padding=(0, 1, 1))
+    v = conv.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # copy torch weights (O,I,kd,kh,kw) -> (kd,kh,kw,I,O)
+    w = tconv.weight.detach().numpy().transpose(2, 3, 4, 1, 0)
+    params = {"kernel": jnp.asarray(w), "bias": jnp.asarray(tconv.bias.detach().numpy())}
+    got = np.asarray(conv.apply({"params": params}, jnp.asarray(x)))
+    want = (
+        tconv(torch.from_numpy(np.moveaxis(x, -1, 1).copy()))
+        .detach().numpy()
+    )
+    np.testing.assert_allclose(got, np.moveaxis(want, 1, -1), atol=1e-5)
+
+
+def test_conv3d_matches_torch_replicate_pad():
+    x = _vol((1, 3, 8, 8, 4), seed=1)
+    tconv = torch.nn.Conv3d(4, 5, 3, padding=1, padding_mode="replicate")
+    conv = Conv(5, 3, padding=1, pad_mode="replicate")
+    w = tconv.weight.detach().numpy().transpose(2, 3, 4, 1, 0)
+    params = {"kernel": jnp.asarray(w), "bias": jnp.asarray(tconv.bias.detach().numpy())}
+    got = np.asarray(conv.apply({"params": params}, jnp.asarray(x)))
+    want = tconv(torch.from_numpy(np.moveaxis(x, -1, 1).copy())).detach().numpy()
+    np.testing.assert_allclose(got, np.moveaxis(want, 1, -1), atol=1e-5)
+
+
+def test_conv3d_inflated_stem_shape():
+    """The MMVit4 stem conv: (3,7,7)/(1,2,2)/(1,3,3) on (B,3,H,W,1)."""
+    x = _vol((1, 3, 32, 32, 1), seed=2)
+    tconv = torch.nn.Conv3d(1, 8, (3, 7, 7), stride=(1, 2, 2),
+                            padding=(1, 3, 3), bias=False)
+    conv = Conv(8, (3, 7, 7), strides=(1, 2, 2), padding=(1, 3, 3), use_bias=False)
+    w = tconv.weight.detach().numpy().transpose(2, 3, 4, 1, 0)
+    got = np.asarray(conv.apply({"params": {"kernel": jnp.asarray(w)}}, jnp.asarray(x)))
+    want = tconv(torch.from_numpy(np.moveaxis(x, -1, 1).copy())).detach().numpy()
+    np.testing.assert_allclose(got, np.moveaxis(want, 1, -1), atol=1e-4)
+
+
+def test_batchnorm_train_and_eval_match_torch():
+    x = _vol((4, 3, 6, 6, 5), seed=3)
+    tbn = torch.nn.BatchNorm3d(5)
+    bn = BatchNorm()
+    v = bn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    tx = torch.from_numpy(np.moveaxis(x, -1, 1).copy())
+
+    # train mode (batch stats + running-stat update)
+    tbn.train()
+    want = tbn(tx).detach().numpy()
+    got, mut = bn.apply(v, jnp.asarray(x), mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(got), np.moveaxis(want, 1, -1), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mut["batch_stats"]["mean"]),
+        tbn.running_mean.detach().numpy(), atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mut["batch_stats"]["var"]),
+        tbn.running_var.detach().numpy(), atol=1e-5,
+    )
+
+    # eval mode uses running stats
+    tbn.eval()
+    want_eval = tbn(tx).detach().numpy()
+    got_eval = bn.apply(
+        {"params": v["params"], "batch_stats": mut["batch_stats"]},
+        jnp.asarray(x), True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_eval), np.moveaxis(want_eval, 1, -1), atol=1e-5
+    )
+
+
+def test_instancenorm_matches_torch():
+    x = _vol((2, 4, 5, 5, 6), seed=4)
+    tin = torch.nn.InstanceNorm3d(6)  # defaults: no affine, batch stats
+    norm = InstanceNorm()
+    got = norm.apply({}, jnp.asarray(x))
+    want = tin(torch.from_numpy(np.moveaxis(x, -1, 1).copy())).detach().numpy()
+    np.testing.assert_allclose(np.asarray(got), np.moveaxis(want, 1, -1), atol=1e-5)
+
+
+def test_layernorm_matches_torch():
+    x = _vol((2, 7, 16), seed=5)
+    tln = torch.nn.LayerNorm(16)
+    ln = LayerNorm()
+    v = ln.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    got = ln.apply(v, jnp.asarray(x))
+    want = tln(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_dense_matches_torch_linear():
+    x = _vol((3, 9), seed=6)
+    tlin = torch.nn.Linear(9, 4)
+    dense = Dense(4)
+    params = {
+        "kernel": jnp.asarray(tlin.weight.detach().numpy().T),
+        "bias": jnp.asarray(tlin.bias.detach().numpy()),
+    }
+    got = dense.apply({"params": params}, jnp.asarray(x))
+    want = tlin(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_gelu_exact_matches_torch():
+    x = jnp.asarray(_vol((100,), seed=7))
+    want = torch.nn.functional.gelu(torch.from_numpy(np.asarray(x))).numpy()
+    got = jax.nn.gelu(x, approximate=False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)

@@ -1,0 +1,140 @@
+"""Training-loop integration: log files, checkpoint round-trip, LR schedule
+application, masked metrics, and overfit-one-batch convergence — using a
+tiny stand-in model so the loop mechanics run fast on CPU."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as fnn
+
+from corrifnet_tpu.data import synthetic_dstl
+from corrifnet_tpu.train import (
+    Checkpointer,
+    init_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    train_model,
+)
+from corrifnet_tpu.train import test_model as run_test_model
+from corrifnet_tpu.utils.logfiles import RunLogs
+
+
+class TinySeg(fnn.Module):
+    """Minimal 5-D-in / 5-D-out sigmoid model mirroring zoo I/O contracts."""
+
+    @fnn.compact
+    def __call__(self, x, train: bool = True):
+        b, m, c, h, w = x.shape
+        y = jnp.moveaxis(x.reshape(b, m * c, h, w), 1, -1)  # NHWC
+        y = fnn.Conv(8, (3, 3), padding="SAME")(y)
+        y = jax.nn.relu(y)
+        y = fnn.Conv(3, (1, 1))(y)
+        y = jax.nn.sigmoid(y)
+        return jnp.moveaxis(y, -1, 1)[:, :, None, :, :]  # (B,3,1,H,W)
+
+
+@pytest.fixture
+def setup():
+    # function-scoped: train steps donate (and thus delete) the state buffers
+    lim = 16
+    data = synthetic_dstl(12, lim=lim, seed=0)
+    model = TinySeg()
+    optimizer = make_optimizer("Adam")
+    state = init_state(
+        model, jax.random.PRNGKey(0), jnp.asarray(data.images[:2]), optimizer
+    )
+    return data, model, optimizer, state, lim
+
+
+def test_train_writes_logs_and_checkpoints(setup, tmp_path):
+    data, model, optimizer, state, lim = setup
+    trind, vlind, tsind = np.arange(8), np.arange(8, 10), np.arange(10, 12)
+    logs = RunLogs.open(tmp_path)
+    ckpt = Checkpointer(tmp_path)
+    state2, history = train_model(
+        model, state, optimizer,
+        n_epochs=2, learn_rate=1e-3, step_size=5, gamma=0.9,
+        images=data.images, masks=data.masks, trind=trind, vlind=vlind,
+        batch_size=3, lim=lim, logs=logs, ckpt=ckpt, i=0,
+        rng=jax.random.PRNGKey(1),
+    )
+    test_loss, test_jac, fps, outs = run_test_model(
+        model, state2, data.images, data.masks, tsind, 3, lim, logs, ckpt, i=0
+    )
+    logs.close()
+    ckpt.close()
+
+    for name in ["trainFile", "valFile", "trainaccFile", "valaccFile",
+                 "trainepochFile", "lrFile", "testFile", "testaccFile",
+                 "fpsfile"]:
+        assert (tmp_path / f"{name}.txt").exists(), name
+    assert len((tmp_path / "trainFile.txt").read_text().splitlines()) == 2
+    assert (tmp_path / "iremmodel0").exists()
+    assert (tmp_path / "Finaliremmodel0").exists()
+    assert np.isfinite(test_loss) and 0 <= test_jac <= 1
+    assert outs.shape == (3, 3, 1, lim, lim)
+    # loss is BCE(double sigmoid): sits in the reference's ~0.5-0.9 band
+    assert 0.4 < test_loss < 1.0
+
+
+def test_checkpoint_roundtrip_changes_nothing(setup, tmp_path):
+    data, model, optimizer, state, lim = setup
+    ckpt = Checkpointer(tmp_path)
+    ckpt.save("iremmodel7", state.params, state.batch_stats)
+    params, batch_stats = ckpt.restore(
+        "iremmodel7", {"params": state.params, "batch_stats": state.batch_stats}
+    )
+    ckpt.close()
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_overfit_one_batch(setup):
+    """End-to-end optimization sanity: loss must fall materially and the
+    prediction must separate positive from negative pixels.
+
+    Note the reference's double-sigmoid loss (F4_TRAIN.py:58-60 on sigmoid
+    outputs) squashes gradients by ~sigma'(sigma(z)), so soft-Jaccard rises
+    slowly by construction — the committed run needed 70 epochs. This test
+    checks gradient flow/direction, not final accuracy."""
+    data, model, optimizer, state, lim = setup
+    images = jnp.asarray(data.images[:4])
+    masks = jnp.asarray(data.masks[:4])
+    valid = jnp.ones((4,), jnp.float32)
+    step = make_train_step(model, optimizer)
+    ev = make_eval_step(model)
+    rng = jax.random.PRNGKey(0)
+    first_loss = None
+    for it in range(400):
+        state, m = step(state, images, masks, valid, 1e-2, rng)
+        if first_loss is None:
+            first_loss = float(m["loss"])
+    final_loss = float(m["loss"])
+    assert final_loss < first_loss - 0.15, (first_loss, final_loss)
+
+    out = ev(state.params, state.batch_stats, images, masks, valid)["outputs"]
+    pos = np.asarray(out)[np.asarray(masks) > 0.5]
+    neg = np.asarray(out)[np.asarray(masks) < 0.5]
+    assert pos.mean() > neg.mean() + 0.05, (pos.mean(), neg.mean())
+
+
+def test_padded_batch_metrics_match_unpadded(setup):
+    """Metrics from a padded batch must equal the unpadded computation."""
+    data, model, optimizer, state, lim = setup
+    ev = make_eval_step(model)
+    im, ma = jnp.asarray(data.images[:2]), jnp.asarray(data.masks[:2])
+    pad_im = jnp.concatenate([im, jnp.zeros_like(im)])
+    pad_ma = jnp.concatenate([ma, jnp.zeros_like(ma)])
+    valid = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    m_pad = ev(state.params, state.batch_stats, pad_im, pad_ma, valid)
+    m_ref = ev(state.params, state.batch_stats, im, ma, jnp.ones((2,)))
+    np.testing.assert_allclose(
+        float(m_pad["loss"]), float(m_ref["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m_pad["jaccard"]), float(m_ref["jaccard"]), rtol=1e-5
+    )
