@@ -51,8 +51,13 @@ BD = 8  # basic_dims (mmvit4.py:10)
 
 
 class DecoderFuse(fnn.Module):
+    """Shared by MMVit4 (with the extra RFM5_reduce 1x1, mmvit4.py:251-255)
+    and MMVit2/mmformer (without it — d4_c1 consumes 192 ch directly,
+    mmmvit2.py:120)."""
+
     num_cls: int = 1
     depth_mode: str = "pruned"  # 'full' | 'pruned'
+    use_reduce: bool = True  # RFM5_reduce present (MMVit4) or not (MMVit2)
     dtype: Dtype = None
 
     @fnn.compact
@@ -87,10 +92,11 @@ class DecoderFuse(fnn.Module):
 
         # ---- level 5: multimodal bottleneck (8^3) -------------------------
         de_x5 = FusionPrenorm(BD * 8 * 3, dtype=dt, name="RFM5")(x5, train)
-        de_x5 = Conv(
-            BD * 16, 1, kernel_init=tinit.kaiming_normal, dtype=dt,
-            name="RFM5_reduce",
-        )(de_x5)
+        if self.use_reduce:
+            de_x5 = Conv(
+                BD * 16, 1, kernel_init=tinit.kaiming_normal, dtype=dt,
+                name="RFM5_reduce",
+            )(de_x5)
         de_x5 = up2(de_x5, 8, 5, (16, 16))
         de_x5 = gconv(BD * 16, 3, 1, "d4_c1")(de_x5, train)
 

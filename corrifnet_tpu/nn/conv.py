@@ -32,7 +32,15 @@ from flax import linen as fnn
 from corrifnet_tpu.nn import init as tinit
 from corrifnet_tpu.nn.norm import BatchNorm, GroupNorm, InstanceNorm
 
-__all__ = ["Conv", "Dense", "GeneralConv3d", "FusionPrenorm", "EarlyFusionBlock"]
+__all__ = [
+    "Conv",
+    "ConvTranspose",
+    "Dense",
+    "PReLU",
+    "GeneralConv3d",
+    "FusionPrenorm",
+    "EarlyFusionBlock",
+]
 
 Dtype = Any
 
@@ -143,6 +151,77 @@ def _dim_numbers(rank):
     return jax.lax.conv_dimension_numbers((1,) * rank, (1,) * rank, (lhs, rhs, lhs))
 
 
+class ConvTranspose(fnn.Module):
+    """2-D transposed convolution with torch ConvTranspose2d semantics
+    (kernel/stride/padding/output_padding), channels-last.
+
+    torch's op is the gradient of a stride-``s`` conv; expressed via
+    ``lax.conv_general_dilated`` with lhs_dilation=s and padding
+    ``(k-1-p, k-1-p+output_padding)`` per spatial axis, with the kernel
+    spatially flipped and in/out transposed.
+    """
+
+    features: int
+    kernel_size: int
+    strides: int = 1
+    padding: int = 0
+    output_padding: int = 0
+    use_bias: bool = True
+    kernel_init: Callable = tinit.torch_default_kernel
+    dtype: Dtype = None
+
+    @fnn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        k, s, p, op = (
+            self.kernel_size, self.strides, self.padding, self.output_padding
+        )
+        # torch weight layout (in, out, kh, kw); fan_in for default init is
+        # out_ch * k * k (torch uses weight.size(1)*k*k for ConvTranspose)
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, k, self.features, in_ch), jnp.float32
+        )
+        cdtype = self.dtype or x.dtype
+        kern = jnp.flip(kernel, axis=(0, 1)).transpose(0, 1, 3, 2)  # HWIO
+        pad = (k - 1 - p, k - 1 - p + op)
+        dn = _dim_numbers(4)
+        y = jax.lax.conv_general_dilated(
+            x.astype(cdtype),
+            kern.astype(cdtype),
+            window_strides=(1, 1),
+            padding=[pad, pad],
+            lhs_dilation=(s, s),
+            dimension_numbers=dn,
+        )
+        if self.use_bias:
+            fan_in = self.features * k * k
+            bias = self.param(
+                "bias", tinit.torch_default_bias(fan_in), (self.features,),
+                jnp.float32,
+            )
+            y = y + bias.astype(y.dtype)
+        return y.astype(cdtype)
+
+
+class PReLU(fnn.Module):
+    """torch nn.PReLU: learnable slope(s), init 0.25. ``channels=None``
+    gives the single shared parameter of ``nn.PReLU()``; an int matches
+    ``nn.PReLU(nOut)`` (per-channel, channels-last)."""
+
+    channels: Optional[int] = None
+    init_value: float = 0.25
+
+    @fnn.compact
+    def __call__(self, x):
+        n = self.channels or 1
+        alpha = self.param(
+            "alpha",
+            lambda key, shape, dtype=jnp.float32: jnp.full(shape, self.init_value, dtype),
+            (n,),
+        )
+        return jnp.maximum(x, 0) + alpha.astype(x.dtype) * jnp.minimum(x, 0)
+
+
 class Dense(fnn.Module):
     """Linear layer with torch default init."""
 
@@ -168,8 +247,11 @@ class Dense(fnn.Module):
 
 
 class GeneralConv3d(fnn.Module):
-    """conv3d -> activation -> norm (reference general_conv3d_prenorm,
-    mmvit4.py:29-45 — note activation precedes the norm)."""
+    """conv3d + activation + norm.
+
+    Default order 'act_norm' = the reference general_conv3d_prenorm
+    (mmvit4.py:29-45, activation BEFORE norm); 'norm_act' = RFNet's
+    general_conv3d (RFNet.py:18-33, norm before lrelu)."""
 
     features: int
     kernel_size: Union[int, Sequence[int]] = 3
@@ -179,6 +261,7 @@ class GeneralConv3d(fnn.Module):
     norm: str = "in"  # 'bn' | 'gn' | 'in'
     act: str = "relu"  # 'relu' | 'lrelu'
     relufactor: float = 0.2
+    order: str = "act_norm"  # 'act_norm' | 'norm_act'
     kernel_init: Callable = tinit.kaiming_normal  # MMVit4 re-init, mmvit4.py:437-439
     dtype: Dtype = None
 
@@ -194,21 +277,28 @@ class GeneralConv3d(fnn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        if self.act == "relu":
-            x = jax.nn.relu(x)
-        elif self.act == "lrelu":
-            x = jax.nn.leaky_relu(x, self.relufactor)
-        if self.norm == "bn":
-            x = BatchNorm(dtype=self.dtype, name="norm")(
-                x, use_running_average=not train
-            )
-        elif self.norm == "gn":
-            x = GroupNorm(num_groups=4, dtype=self.dtype, name="norm")(x)
-        elif self.norm == "in":
-            x = InstanceNorm(dtype=self.dtype, name="norm")(x)
-        else:
+
+        def apply_act(x):
+            if self.act == "relu":
+                return jax.nn.relu(x)
+            if self.act == "lrelu":
+                return jax.nn.leaky_relu(x, self.relufactor)
+            raise ValueError(self.act)
+
+        def apply_norm(x):
+            if self.norm == "bn":
+                return BatchNorm(dtype=self.dtype, name="norm")(
+                    x, use_running_average=not train
+                )
+            if self.norm == "gn":
+                return GroupNorm(num_groups=4, dtype=self.dtype, name="norm")(x)
+            if self.norm == "in":
+                return InstanceNorm(dtype=self.dtype, name="norm")(x)
             raise ValueError(f"normalization type {self.norm} is not supported")
-        return x
+
+        if self.order == "act_norm":
+            return apply_norm(apply_act(x))
+        return apply_act(apply_norm(x))
 
 
 class FusionPrenorm(fnn.Module):

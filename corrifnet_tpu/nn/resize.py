@@ -173,3 +173,53 @@ def upsample_bilinear_2d(x, scale: int, align_corners: bool = True):
     """nn.Upsample(scale_factor=s, mode='bilinear') for NHWC input."""
     b, h, w, c = x.shape
     return resize_linear(x, (h * scale, w * scale), align_corners=align_corners)
+
+
+def max_pool_argmax(x, k: int, stride: int, padding: int):
+    """2-D max pool returning (values, flat_indices) — torch
+    ``MaxPool2d(return_indices=True)`` semantics: indices are row-major flat
+    positions into the (unpadded) H*W input plane, per (batch, channel).
+
+    NHWC input. Implemented with patch extraction + argmax (ENet's
+    downsampling bottlenecks, F29_ENet.py:121-125).
+    """
+    b, h, w, c = x.shape
+    neg = jnp.finfo(jnp.float32).min
+    xp = jnp.pad(
+        x.astype(jnp.float32),
+        ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+        constant_values=neg,
+    )
+    ho = (h + 2 * padding - k) // stride + 1
+    wo = (w + 2 * padding - k) // stride + 1
+    # gather k*k shifted slices: (k*k, B, Ho, Wo, C)
+    slices = [
+        xp[:, i : i + stride * ho : stride, j : j + stride * wo : stride, :]
+        for i in range(k)
+        for j in range(k)
+    ]
+    stack = jnp.stack(slices, axis=0)
+    arg = jnp.argmax(stack, axis=0)  # (B, Ho, Wo, C) in [0, k*k)
+    vals = jnp.max(stack, axis=0).astype(x.dtype)
+    # source coordinates in the unpadded plane
+    oh = jax.lax.broadcasted_iota(jnp.int32, (b, ho, wo, c), 1)
+    ow = jax.lax.broadcasted_iota(jnp.int32, (b, ho, wo, c), 2)
+    kh = arg // k
+    kw = arg % k
+    src_h = oh * stride - padding + kh
+    src_w = ow * stride - padding + kw
+    flat = src_h * w + src_w
+    return vals, flat
+
+
+def max_unpool(x, indices, out_hw):
+    """torch ``MaxUnpool2d``: scatter values to ``indices`` (flat H*W
+    positions) in a zero canvas of spatial size ``out_hw``. NHWC."""
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+    vals = x.transpose(0, 3, 1, 2).reshape(b * c, h * w)
+    idx = indices.transpose(0, 3, 1, 2).reshape(b * c, h * w)
+    canvas = jnp.zeros((b * c, oh * ow), x.dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 0)
+    canvas = canvas.at[rows, idx].set(vals)
+    return canvas.reshape(b, c, oh, ow).transpose(0, 2, 3, 1)
