@@ -210,7 +210,7 @@ class AMM(fnn.Module):
             lambda key, shape: jnp.full(shape, math.log(10.0), jnp.float32),
             (nh, 1, 1),
         )
-        sim = sim * jnp.exp(jnp.clip(logit_scale, a_max=math.log(100.0)))
+        sim = sim * jnp.exp(jnp.clip(logit_scale, max=math.log(100.0)))
 
         # continuous relative position bias over channel pairs
         rpb = _amm_relative_bias(self.in_chans)  # (C, C, 1) static
