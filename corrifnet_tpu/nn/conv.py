@@ -96,6 +96,27 @@ class Conv(fnn.Module):
         x = x.astype(cdtype)
         kernel = kernel.astype(cdtype)
 
+        # Depth-1 reduction: a 3-D conv over a single depth slice with
+        # same-size output is exactly a 2-D conv — replicate padding sees
+        # the slice at every kernel depth (sum the kernel over depth), zero
+        # padding sees it only at the centre tap. Collapses most of the
+        # MMVit2/RFNet encoder convs to MXU-friendly 2-D convs.
+        if (
+            nsp == 3
+            and ks[0] > 1
+            and ks[0] % 2 == 1
+            and x.shape[1] == 1
+            and st[0] == 1
+            and dl[0] == 1
+            and pd[0] == ((ks[0] - 1) // 2,) * 2
+            and self.pad_mode in ("replicate", "zeros")
+        ):
+            if self.pad_mode == "replicate":
+                kernel = kernel.sum(axis=0, keepdims=True)
+            else:
+                kernel = kernel[ks[0] // 2 : ks[0] // 2 + 1]
+            ks = (1, *ks[1:])
+            pd = ((0, 0), *pd[1:])
         if self.pad_mode != "zeros" and any(lo or hi for lo, hi in pd):
             cfg = [(0, 0)] + list(pd) + [(0, 0)]
             mode = {"replicate": "edge", "reflect": "reflect"}[self.pad_mode]

@@ -53,6 +53,22 @@ def test_conv3d_inflated_stem_shape():
     np.testing.assert_allclose(got, np.moveaxis(want, 1, -1), atol=1e-4)
 
 
+def test_conv3d_depth1_reduction_matches_torch():
+    """Depth-1 input through a 3^3 conv (replicate and zeros padding) must
+    equal torch despite the internal 2-D reduction."""
+    for pad_mode, torch_mode in [("replicate", "replicate"), ("zeros", "zeros")]:
+        x = _vol((2, 1, 6, 6, 4), seed=9)
+        tconv = torch.nn.Conv3d(4, 5, 3, padding=1, padding_mode=torch_mode)
+        conv = Conv(5, 3, padding=1, pad_mode=pad_mode)
+        w = tconv.weight.detach().numpy().transpose(2, 3, 4, 1, 0)
+        params = {"kernel": jnp.asarray(w),
+                  "bias": jnp.asarray(tconv.bias.detach().numpy())}
+        got = np.asarray(conv.apply({"params": params}, jnp.asarray(x)))
+        want = tconv(torch.from_numpy(np.moveaxis(x, -1, 1).copy())).detach().numpy()
+        np.testing.assert_allclose(got, np.moveaxis(want, 1, -1), atol=1e-5,
+                                   err_msg=pad_mode)
+
+
 def test_batchnorm_train_and_eval_match_torch():
     x = _vol((4, 3, 6, 6, 5), seed=3)
     tbn = torch.nn.BatchNorm3d(5)
