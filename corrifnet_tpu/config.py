@@ -49,6 +49,7 @@ class ExperimentConfig:
     data_dirs: Optional[dict] = None    # {'rgb':…, 'all20':…, 'mask':…}
     synthetic_seed: Optional[int] = None
     seed: int = 0
+    transfer_checkpoint: Optional[str] = None  # warm start (transfertype=yestr)
 
     @property
     def jax_dtype(self):

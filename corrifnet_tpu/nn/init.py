@@ -102,3 +102,38 @@ REFERENCE_INIT_SCHEMES = {
     "kaiming_uniform_": kaiming_uniform,
     "kaiming_normal_": kaiming_normal,
 }
+
+
+def apply_reference_init_scheme(params, scheme: str, rng):
+    """F2_MAIN.py:134-157 ``model.apply(init_weights)`` equivalent: re-init
+    every 2-D conv kernel (4-axis spatial-first kernels) with the configured
+    scheme and zero its bias. Unknown scheme names are a no-op, matching the
+    reference (its dispatch silently does nothing for other strings)."""
+    import jax
+    import jax.numpy as jnp
+
+    init_fn = REFERENCE_INIT_SCHEMES.get(scheme)
+    if init_fn is None:
+        return params
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    conv_bias_dirs = set()
+    for path, leaf in flat:
+        keys = tuple(getattr(p, "key", str(p)) for p in path)
+        if keys and keys[-1] == "kernel" and leaf.ndim == 4:
+            conv_bias_dirs.add(keys[:-1])
+
+    counter = [0]
+
+    def reinit(path, leaf):
+        keys = tuple(getattr(p, "key", str(p)) for p in path)
+        if keys and keys[-1] == "kernel" and leaf.ndim == 4:
+            counter[0] += 1
+            return init_fn(
+                jax.random.fold_in(rng, counter[0]), leaf.shape, leaf.dtype
+            )
+        if keys and keys[-1] == "bias" and keys[:-1] in conv_bias_dirs:
+            return jnp.zeros_like(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(reinit, params)

@@ -89,9 +89,31 @@ def run_experiment(cfg: ExperimentConfig, run_root=".", index: int = 0):
 
     optimizer = make_optimizer(cfg.optimizer_type)
     rng = jax.random.PRNGKey(cfg.seed)
-    rng, init_rng = jax.random.split(rng)
+    rng, init_rng, scheme_rng = jax.random.split(rng, 3)
     sample = images[: cfg.mini_batch_size]
     state = init_state(model, init_rng, sample, optimizer)
+
+    # transfertype dispatch (F2_MAIN.py:160-165): 'notr' applies the
+    # configured init scheme to 2-D convs; 'yestr' warm-starts from a
+    # checkpoint; 'loratr' leaves the model as constructed.
+    if cfg.transfertype == "notr":
+        from corrifnet_tpu.nn.init import apply_reference_init_scheme
+
+        state = state.replace(
+            params=apply_reference_init_scheme(
+                state.params, cfg.initialization, scheme_rng
+            )
+        )
+    elif cfg.transfertype == "yestr":
+        transfer = getattr(cfg, "transfer_checkpoint", None)
+        if transfer:
+            warm = Checkpointer(str(Path(transfer).parent))
+            params, batch_stats = warm.restore(
+                Path(transfer).name,
+                {"params": state.params, "batch_stats": state.batch_stats},
+            )
+            state = state.replace(params=params, batch_stats=batch_stats)
+            warm.close()
 
     d = datetime.datetime.now()
     run_dir = Path(run_root) / (
