@@ -8,11 +8,19 @@ Metric: 224x224 multispectral patches/sec through the full jitted train step
 depth-pruned decoder. ``vs_baseline`` is measured against the BASELINE.json
 target of 2,000 patches/sec/chip (the reference itself publishes no
 throughput numbers — its fpsfile.txt slot is empty, F7_TEST2.py:135).
+
+Measurement notes: every step is synchronized by fetching the loss scalar to
+the host — ``block_until_ready`` alone is NOT trustworthy on tunneled/remote
+TPU backends (observed on the axon tunnel: it returns at enqueue, inflating
+throughput ~100x). The per-step host round-trip floor (measured with a
+trivial jitted op, ~0.1 ms on a local TPU, ~40 ms through a tunnel) is
+subtracted so the number reflects device compute, not transport latency.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -23,7 +31,22 @@ import numpy as np
 BASELINE_TARGET = 2000.0  # patches/sec/chip (BASELINE.json)
 
 
-def bench_train_step(batch_size=8, iters=20, warmup=3):
+def measure_roundtrip_floor(iters=10):
+    """Per-step host-fetch latency floor with a trivial jitted op."""
+    f = jax.jit(lambda x: x + 1)
+    y = f(jnp.ones((8, 128), jnp.float32))
+    _ = float(y[0, 0])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            y = f(y)
+            _ = float(y[0, 0])
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def bench_train_step(batch_size=8, iters=15, warmup=3, rt_floor=0.0):
     from corrifnet_tpu.models.mmvit4 import MMVit4
     from corrifnet_tpu.train import init_state, make_optimizer, make_train_step
 
@@ -44,25 +67,31 @@ def bench_train_step(batch_size=8, iters=20, warmup=3):
 
     for _ in range(warmup):
         state, metrics = train_step(state, images, masks, valid, 1e-4, key)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
 
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = train_step(state, images, masks, valid, 1e-4, key)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
-    return batch_size * iters / dt
+        _ = float(metrics["loss"])  # hard sync: host fetch every step
+    total = time.perf_counter() - t0
+    compute = max(total - iters * rt_floor, 1e-9)
+    return batch_size * iters / compute
 
 
 def main():
-    import os
+    rt_floor = measure_roundtrip_floor()
+    print(f"# round-trip floor: {rt_floor * 1e3:.1f} ms", file=sys.stderr)
 
     batch = int(os.environ.get("BENCH_BATCH", "0"))
-    if batch:
-        value = bench_train_step(batch_size=batch)
-    else:
-        # modest sweep: pick the best throughput batch size
-        value = max(bench_train_step(batch_size=b, iters=12) for b in (8, 16))
+    sizes = (batch,) if batch else (8, 16)
+    value = 0.0
+    for b in sizes:
+        try:
+            value = max(value, bench_train_step(batch_size=b, rt_floor=rt_floor))
+        except Exception as e:  # noqa: BLE001 — e.g. OOM at larger sizes
+            print(f"# batch {b} failed: {type(e).__name__}", file=sys.stderr)
+    if value == 0.0:
+        raise RuntimeError("all benchmark batch sizes failed")
     print(
         json.dumps(
             {
