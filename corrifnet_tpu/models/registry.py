@@ -132,6 +132,29 @@ def _register_builtin():
         (f"LoRA_ViT{i if i > 1 else ''}",
          "lora/base_vit/seg_vit modules absent (F2_MAIN.py:26-28)")
         for i in range(1, 10)
+    ] + [
+        # calculate2.py's single-modality zoo whose modules are absent from
+        # the snapshot (calculate2.py:15-40 imports)
+        (n, f"{src} absent from snapshot (calculate2.py:15-40)")
+        for n, src in [
+            ("UNetV1", "F1_UNET_V1_1.py"),
+            ("SegNet", "F10_SEGNET_V1.py"),
+            ("DinkNet101", "F12_DLINKNET_V3.py"),
+            ("CamDUNet", "F20_DILATEDUNET.py"),
+            ("DFANet", "F15_DFANET.py"),
+            ("R2U_Net", "F21_GENERAL_UNET.py"),
+            ("AttU_Net", "F21_GENERAL_UNET.py"),
+            ("R2AttU_Net", "F21_GENERAL_UNET.py"),
+            ("NestedUNet", "F22_NESTEDUNET.py"),
+            ("DualNorm_Unet", "F23_DULANORM_UNET.py"),
+            ("InceptionUNet", "F24_INCEPTION_UNET.py"),
+            ("AttU_Net_with_scAG", "F25_SCAG_UNET.py"),
+            ("FSFNet", "F26_FSFNet.py"),
+            ("LMFFNet", "F27_LMFFNet.py"),
+            ("LMFFNet2", "LMFFNet_IREM.py"),
+            ("LMFFNet3", "LMFFNet_IREM3.py"),
+            ("UNetFormer", "F16_UNETFORMER2.py"),
+        ]
     ]:
         register_unavailable(name, note)
 

@@ -37,6 +37,7 @@ class SelfAttention(fnn.Module):
     heads: int = 8
     qkv_bias: bool = False
     dropout_rate: float = 0.0
+    use_pallas_attn: bool = False  # fused kernel (no attn dropout path)
     dtype: Dtype = None
 
     @fnn.compact
@@ -50,12 +51,17 @@ class SelfAttention(fnn.Module):
         qkv = qkv.reshape(b, n, 3, h, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
-        attn = fnn.Dropout(self.dropout_rate, name="attn_drop")(
-            attn, deterministic=deterministic
-        )
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        if self.use_pallas_attn and (deterministic or self.dropout_rate == 0.0):
+            from corrifnet_tpu.ops import fused_attention
+
+            out = fused_attention(q, k, v, scale)
+        else:
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+            attn = fnn.Dropout(self.dropout_rate, name="attn_drop")(
+                attn, deterministic=deterministic
+            )
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         out = Dense(c, dtype=self.dtype, name="proj")(out)
         out = fnn.Dropout(self.dropout_rate, name="proj_drop")(
