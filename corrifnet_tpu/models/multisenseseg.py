@@ -537,12 +537,11 @@ class PPM(fnn.Module):
     @fnn.compact
     def __call__(self, x, train: bool = True):  # NCHW
         b, c, h, w = x.shape
+        from corrifnet_tpu.nn.resize import adaptive_max_pool
+
         xs = [x]
         for i, ps in enumerate(self.pool_sizes):
-            # AdaptiveMaxPool2d(ps)
-            y = _nhwc(x)
-            kh, kw = h // ps, w // ps
-            y = max_pool(y, (kh, kw), (kh, kw))
+            y = adaptive_max_pool(_nhwc(x), (ps, ps))
             y = Conv(self.out_chans, 1, use_bias=False, dtype=self.dtype,
                      name=f"pool_proj{i}")(y)
             y = jax.nn.relu(y)

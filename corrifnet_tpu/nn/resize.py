@@ -175,6 +175,39 @@ def upsample_bilinear_2d(x, scale: int, align_corners: bool = True):
     return resize_linear(x, (h * scale, w * scale), align_corners=align_corners)
 
 
+def adaptive_max_pool(x, out_hw):
+    """torch AdaptiveMaxPool2d: output (oh, ow) regardless of input size;
+    output cell (i, j) takes the max over input rows
+    [floor(i*H/oh), ceil((i+1)*H/oh)) x cols [floor(j*W/ow), ceil((j+1)*W/ow)).
+    NHWC; static shapes (windows resolved at trace time)."""
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+    rows = []
+    for i in range(oh):
+        r0, r1 = (i * h) // oh, -(-((i + 1) * h) // oh)
+        cols = []
+        for j in range(ow):
+            c0, c1 = (j * w) // ow, -(-((j + 1) * w) // ow)
+            cols.append(x[:, r0:r1, c0:c1, :].max(axis=(1, 2)))
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.stack(rows, axis=1)  # (B, oh, ow, C)
+
+
+def adaptive_avg_pool(x, out_hw):
+    """torch AdaptiveAvgPool2d with the same window rule."""
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+    rows = []
+    for i in range(oh):
+        r0, r1 = (i * h) // oh, -(-((i + 1) * h) // oh)
+        cols = []
+        for j in range(ow):
+            c0, c1 = (j * w) // ow, -(-((j + 1) * w) // ow)
+            cols.append(x[:, r0:r1, c0:c1, :].mean(axis=(1, 2)))
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.stack(rows, axis=1)
+
+
 def max_pool_argmax(x, k: int, stride: int, padding: int):
     """2-D max pool returning (values, flat_indices) — torch
     ``MaxPool2d(return_indices=True)`` semantics: indices are row-major flat

@@ -5,6 +5,8 @@ import numpy as np
 import pytest
 
 from corrifnet_tpu.nn.resize import (
+    adaptive_avg_pool,
+    adaptive_max_pool,
     avg_pool,
     max_pool,
     resize_linear,
@@ -88,6 +90,23 @@ def test_avgpool_matches_torch():
     want = np.moveaxis(F.avg_pool2d(t, 2, 2).numpy(), 1, -1)
     got = np.asarray(avg_pool(jnp.asarray(img), (2, 2), (2, 2)))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_adaptive_pools_match_torch():
+    """AdaptiveMax/AvgPool2d parity incl. output larger than input (the
+    MultiSenseSeg PPM runs 7x7 -> 6x6 at 224 input)."""
+    rng = np.random.default_rng(7)
+    for (h, w), out in [((7, 7), (6, 6)), ((2, 2), (3, 3)), ((14, 10), (3, 6))]:
+        x = rng.normal(0, 1, (2, h, w, 4)).astype(np.float32)
+        t = torch.from_numpy(np.moveaxis(x, -1, 1).copy())
+        want_m = np.moveaxis(torch.nn.AdaptiveMaxPool2d(out)(t).numpy(), 1, -1)
+        want_a = np.moveaxis(torch.nn.AdaptiveAvgPool2d(out)(t).numpy(), 1, -1)
+        np.testing.assert_allclose(
+            np.asarray(adaptive_max_pool(jnp.asarray(x), out)), want_m, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(adaptive_avg_pool(jnp.asarray(x), out)), want_a, atol=1e-6
+        )
 
 
 def test_depth_prefix_linear_is_exact():
