@@ -139,3 +139,36 @@ def test_gelu_exact_matches_torch():
     want = torch.nn.functional.gelu(torch.from_numpy(np.asarray(x))).numpy()
     got = jax.nn.gelu(x, approximate=False)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+def test_conv3d_1x1_equals_dense_token_projection():
+    """The reference's 1x1x1 token convs (encode/qkv/decode convs,
+    mmvit4.py:398-426) are per-token Linear layers — our Dense realization
+    must match torch Conv3d exactly under weight mapping."""
+    rng = np.random.default_rng(8)
+    b, d, h, w, cin, cout = 2, 2, 3, 3, 16, 24
+    x = rng.normal(0, 1, (b, cin, d, h, w)).astype(np.float32)
+    tconv = torch.nn.Conv3d(cin, cout, 1)
+    want = tconv(torch.from_numpy(x)).detach().numpy()
+    # tokens in (B, N, C) with N = d*h*w in (d, h, w) row-major order —
+    # exactly torch .permute(0,2,3,4,1).view(B,-1,C)
+    tokens = np.moveaxis(x, 1, -1).reshape(b, -1, cin)
+    dense = Dense(cout)
+    params = {
+        "kernel": jnp.asarray(tconv.weight.detach().numpy()[:, :, 0, 0, 0].T),
+        "bias": jnp.asarray(tconv.bias.detach().numpy()),
+    }
+    got_tokens = np.asarray(dense.apply({"params": params}, jnp.asarray(tokens)))
+    want_tokens = np.moveaxis(want, 1, -1).reshape(b, -1, cout)
+    np.testing.assert_allclose(got_tokens, want_tokens, atol=1e-5)
+
+
+def test_reinterpreting_reshape_matches_torch_view():
+    """(B, N, C) -> (B, p, p, p, C*) row-major reuse (mmvit4.py:525-529):
+    jnp.reshape must equal torch .view on contiguous tensors."""
+    rng = np.random.default_rng(9)
+    b, p, c = 2, 4, 8
+    tokens = rng.normal(0, 1, (b, 2 * p ** 3, c)).astype(np.float32)
+    want = torch.from_numpy(tokens).view(b, p, p, p, 2 * c).numpy()
+    got = np.asarray(jnp.asarray(tokens).reshape(b, p, p, p, 2 * c))
+    np.testing.assert_array_equal(got, want)
