@@ -1,5 +1,10 @@
 from corrifnet_tpu.data.crossval import cross_val, load_permutation, write_permutation
-from corrifnet_tpu.data.dataset import Batch, batch_iterator, num_batches
+from corrifnet_tpu.data.dataset import (
+    Batch,
+    batch_iterator,
+    device_prefetch,
+    num_batches,
+)
 from corrifnet_tpu.data.dstl import (
     DstlArrays,
     load_dstl,
@@ -15,6 +20,7 @@ __all__ = [
     "write_permutation",
     "Batch",
     "batch_iterator",
+    "device_prefetch",
     "num_batches",
     "DstlArrays",
     "load_dstl",

@@ -20,7 +20,7 @@ from typing import Iterator, Tuple
 
 import numpy as np
 
-__all__ = ["Batch", "batch_iterator", "num_batches"]
+__all__ = ["Batch", "batch_iterator", "num_batches", "device_prefetch"]
 
 
 @dataclasses.dataclass
@@ -54,3 +54,35 @@ def batch_iterator(
             ma = np.concatenate([ma, np.zeros((pad, *ma.shape[1:]), ma.dtype)])
             valid[b:] = 0.0
         yield Batch(im, ma, valid)
+
+
+def device_prefetch(batches: Iterator[Batch], size: int = 2, sharding=None):
+    """Overlap host->device transfer with compute: keep ``size`` batches
+    in flight on device ahead of the consumer (the standard TPU input
+    pipeline; jax transfers are async so enqueueing ahead suffices).
+
+    ``sharding`` (e.g. ``parallel.batch_sharding(mesh)``) places each batch
+    array across the mesh's data axis.
+    """
+    import collections
+
+    import jax
+
+    def put(b: Batch) -> Batch:
+        if sharding is not None:
+            return Batch(
+                jax.device_put(b.images, sharding),
+                jax.device_put(b.masks, sharding),
+                jax.device_put(b.valid, sharding),
+            )
+        return Batch(
+            jax.device_put(b.images), jax.device_put(b.masks), jax.device_put(b.valid)
+        )
+
+    queue = collections.deque()
+    for b in batches:
+        queue.append(put(b))
+        if len(queue) > size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

@@ -25,7 +25,7 @@ from typing import Optional
 import jax
 import numpy as np
 
-from corrifnet_tpu.data.dataset import batch_iterator
+from corrifnet_tpu.data.dataset import batch_iterator, device_prefetch
 from corrifnet_tpu.train.checkpoint import (
     Checkpointer,
     epoch_ckpt_name,
@@ -132,7 +132,9 @@ def train_model(
             )
 
         batch_losses, jI, total = [], 0.0, 0.0
-        for batch in batch_iterator(images, masks, trind, batch_size):
+        for batch in device_prefetch(
+            batch_iterator(images, masks, trind, batch_size)
+        ):
             rng, sub = jax.random.split(rng)
             state, m = train_step(
                 state, batch.images, batch.masks, batch.valid, lr, sub
