@@ -68,8 +68,23 @@ def _prepare_images(images, spec):
     return images
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache — long-model compiles (and a flaky
+    remote compile service) make cache hits valuable across runs."""
+    cache_dir = os.environ.get(
+        "CORRIFNET_COMPILE_CACHE",
+        str(Path.home() / ".cache" / "corrifnet_tpu" / "xla"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def run_experiment(cfg: ExperimentConfig, run_root=".", index: int = 0):
     begin = datetime.datetime.now()
+    _enable_compile_cache()
     print("devices:", jax.devices())
 
     tsind, trind, vlind = cross_val(cfg.train_set_size, cfg.fno, cfg.fsiz)
@@ -215,17 +230,33 @@ def _write_curves(run_dir, history):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--config", required=True)
+    ap.add_argument("--config",
+                    help="config file; with --indices, a template containing "
+                         "{i} (the reference's ../../experiments/model{i}.txt "
+                         "loop, F2_MAIN.py:60-62)")
     ap.add_argument("--run-root", default=".")
     ap.add_argument("--index", type=int, default=0)
+    ap.add_argument("--indices", default=None,
+                    help="comma-separated experiment indices, e.g. 0,1,2")
     ap.add_argument("--synthetic-seed", type=int, default=None)
     args = ap.parse_args(argv)
-    cfg = load_config(args.config)
-    if args.synthetic_seed is not None:
-        cfg.synthetic_seed = args.synthetic_seed
-    result = run_experiment(cfg, args.run_root, args.index)
-    print("test jaccard:", result["test_jaccard"], "fps:", result["fps"])
-    return result
+    if not args.config:
+        ap.error("--config is required")
+
+    indices = (
+        [int(i) for i in args.indices.split(",")] if args.indices else [args.index]
+    )
+    results = {}
+    for i in indices:
+        cfg_path = args.config.format(i=i) if "{i}" in args.config else args.config
+        cfg = load_config(cfg_path)
+        if args.synthetic_seed is not None:
+            cfg.synthetic_seed = args.synthetic_seed
+        result = run_experiment(cfg, args.run_root, i)
+        print(f"[model{i}] test jaccard:", result["test_jaccard"],
+              "fps:", result["fps"])
+        results[i] = result
+    return results if args.indices else results[indices[0]]
 
 
 if __name__ == "__main__":

@@ -52,6 +52,41 @@ class Checkpointer:
             restored = self._ckptr.restore(path)
         return restored["params"], restored["batch_stats"]
 
+    def save_state(self, name: str, state) -> Path:
+        """Extended checkpoint including optimizer state + step — enables
+        true mid-training resume (a capability the reference lacks: it only
+        saves model weights, F4_TRAIN.py:84)."""
+        path = self.run_dir / name
+        self._ckptr.save(
+            path,
+            {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "step": state.step,
+            },
+            force=True,
+        )
+        self._ckptr.wait_until_finished()
+        return path
+
+    def restore_state(self, name: str, template_state):
+        restored = self._ckptr.restore(
+            self.run_dir / name,
+            target={
+                "params": template_state.params,
+                "batch_stats": template_state.batch_stats,
+                "opt_state": template_state.opt_state,
+                "step": template_state.step,
+            },
+        )
+        return template_state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
+
     def exists(self, name: str) -> bool:
         return (self.run_dir / name).exists()
 

@@ -138,3 +138,33 @@ def test_padded_batch_metrics_match_unpadded(setup):
     np.testing.assert_allclose(
         float(m_pad["jaccard"]), float(m_ref["jaccard"]), rtol=1e-5
     )
+
+
+def test_extended_checkpoint_resume(setup, tmp_path):
+    """save_state/restore_state round-trips optimizer state (true resume)."""
+    data, model, optimizer, state, lim = setup
+    images = jnp.asarray(data.images[:4])
+    masks = jnp.asarray(data.masks[:4])
+    valid = jnp.ones((4,), jnp.float32)
+    step = make_train_step(model, optimizer)
+    rng = jax.random.PRNGKey(0)
+    for _ in range(3):
+        state, _ = step(state, images, masks, valid, 1e-3, rng)
+
+    ckpt = Checkpointer(tmp_path)
+    ckpt.save_state("full0", state)
+
+    # fresh template, restore, continue — must equal continuing the original
+    template = init_state(
+        model, jax.random.PRNGKey(9), images, make_optimizer("Adam")
+    )
+    restored = ckpt.restore_state("full0", template)
+    assert int(restored.step) == 3
+    cont_a, ma = step(restored, images, masks, valid, 1e-3, rng)
+    state_b = ckpt.restore_state("full0", init_state(
+        model, jax.random.PRNGKey(11), images, make_optimizer("Adam")))
+    cont_b, mb = step(state_b, images, masks, valid, 1e-3, rng)
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(cont_a.params), jax.tree.leaves(cont_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ckpt.close()
