@@ -16,7 +16,7 @@ exactly, including the final partial batch.
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterator, Tuple
+from typing import Iterator
 
 import numpy as np
 

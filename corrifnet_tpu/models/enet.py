@@ -15,7 +15,7 @@ a single shared slope parameter per bottleneck, reproduced here.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -50,11 +50,6 @@ def _nchw(x):
 
 def _nhwc(x):
     return jnp.moveaxis(x, 1, -1)
-
-
-def conv_nchw(x_nchw, features, kernel, stride=1, padding=0, groups=1,
-              use_bias=True, dtype=None, name=None, parent=None, **kw):
-    raise NotImplementedError  # placeholder; convs are inlined below
 
 
 class _ConvBNAct(fnn.Module):

@@ -18,7 +18,6 @@ concatenations (identical layout).
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax

@@ -20,14 +20,13 @@ the output; conv1/norm1 params still exist.
 
 from __future__ import annotations
 
-from typing import Any, List
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 from flax import linen as fnn
 
 from corrifnet_tpu.nn import Conv, InstanceNorm
-from corrifnet_tpu.nn import init as tinit
 from corrifnet_tpu.nn.resize import resize_linear
 
 __all__ = ["RobustMseg"]

@@ -20,7 +20,7 @@ preserved). Nearest rule: src = floor(dst*S/D).
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ swapped in via ``corrifnet_tpu.ops`` (same math, opt-in).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,7 @@ import jax
 import numpy as np
 
 from corrifnet_tpu.config import ExperimentConfig, load_config
-from corrifnet_tpu.data import batch_iterator, cross_val, load_dstl
+from corrifnet_tpu.data import cross_val, load_dstl
 from corrifnet_tpu.models import create_model, get_spec
 from corrifnet_tpu.run.segplot import segplot
 from corrifnet_tpu.train import (

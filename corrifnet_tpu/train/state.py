@@ -20,14 +20,14 @@ TPU-first: a single jitted step updates params/opt-state in place
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
 
-from corrifnet_tpu.metrics import bce_with_logits, jaccard2_masked
+from corrifnet_tpu.metrics import jaccard2_masked
 
 __all__ = ["TrainState", "make_optimizer", "make_train_step", "make_eval_step",
            "init_state"]

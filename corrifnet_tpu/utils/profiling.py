@@ -14,7 +14,7 @@ TPU-native equivalents of the reference's telemetry:
 from __future__ import annotations
 
 import contextlib
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 
