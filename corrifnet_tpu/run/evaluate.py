@@ -58,7 +58,7 @@ def per_image_metrics(model, params, batch_stats, images, masks, indices,
     return jacks, f1s
 
 
-def evaluate_run(run_dir, cfg, index: int = 0):
+def evaluate_run(run_dir, cfg, index: int = 0, segplot_dir=None):
     tsind, trind, _ = cross_val(cfg.train_set_size, cfg.fno, cfg.fsiz)
     data = load_dstl(
         cfg.train_set_size, trind,
@@ -78,6 +78,25 @@ def evaluate_run(run_dir, cfg, index: int = 0):
         {"params": state.params, "batch_stats": state.batch_stats},
     )
     jacks, f1s = per_image_metrics(model, params, batch_stats, images, masks, tsind)
+
+    if segplot_dir is not None and spec.input_kind == "5d":
+        # optional per-image overlays (allJaccardResults' segplot2 path)
+        from corrifnet_tpu.run.segplot import segplot_indexed
+
+        @jax.jit
+        def fwd(im):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats}, im, False
+            )
+
+        for rank, idx in enumerate(tsind):
+            out = np.asarray(fwd(jnp.asarray(data.images[idx : idx + 1])))
+            img_hwc = np.moveaxis(data.images[idx, 0], 0, -1)
+            segplot_indexed(
+                segplot_dir, img_hwc.shape[0], img_hwc, out[0, 0, 0],
+                np.asarray(masks[idx, 0, 0]), data.tr_mean_r, data.tr_mean_g,
+                data.tr_mean_b, indx=int(idx),
+            )
     return {
         "jaccard_mean": float(jacks.mean()),
         "jaccard_std": float(jacks.std()),
@@ -93,6 +112,8 @@ def main(argv=None):
     ap.add_argument("--run-dir")
     ap.add_argument("--config", required=True)
     ap.add_argument("--index", type=int, default=0)
+    ap.add_argument("--segplot-dir", default=None,
+                    help="write per-test-image overlay PNGs here")
     args = ap.parse_args(argv)
     cfg = load_config(args.config)
     runs = (
@@ -102,7 +123,7 @@ def main(argv=None):
     )
     results = {}
     for name, run_dir in runs:
-        r = evaluate_run(run_dir, cfg, args.index)
+        r = evaluate_run(run_dir, cfg, args.index, segplot_dir=args.segplot_dir)
         results[name] = r
         print(
             f"{name}: jaccard {r['jaccard_mean']:.5f}±{r['jaccard_std']:.5f} "

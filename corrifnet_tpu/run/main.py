@@ -59,12 +59,17 @@ def _build_model(cfg: ExperimentConfig):
     return create_model(cfg.modeltype, **kwargs), spec
 
 
-def _prepare_images(images, spec):
-    """5-D models take (B,3,3,H,W); 4-D models take the RGB modality only
-    (the reference's single-modality zoo trains on 4-D tensors from
-    F8_IMAGES/F8_IMAGES2; RGB slice keeps shapes consistent here)."""
+def _prepare_images(images, spec, chindex="0"):
+    """5-D models take (B,3,3,H,W); 4-D models take one modality selected by
+    the config's ``chindex`` line (the reference's single-modality loaders
+    F8_IMAGES/F8_IMAGES2 are absent from the snapshot; chindex 0/1/2 maps to
+    RGB/NIR/SWIR here)."""
     if spec.input_kind == "4d":
-        return images[:, 0]
+        try:
+            m = int(chindex)
+        except (TypeError, ValueError):
+            m = 0
+        return images[:, m if 0 <= m < images.shape[1] else 0]
     return images
 
 
@@ -99,7 +104,7 @@ def run_experiment(cfg: ExperimentConfig, run_root=".", index: int = 0):
     )
 
     model, spec = _build_model(cfg)
-    images = _prepare_images(data.images, spec)
+    images = _prepare_images(data.images, spec, cfg.chindex)
     masks = data.masks if spec.input_kind == "5d" else data.masks[:, 0]
 
     optimizer = make_optimizer(cfg.optimizer_type)
