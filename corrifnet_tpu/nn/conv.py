@@ -117,6 +117,21 @@ class Conv(fnn.Module):
                 kernel = kernel[ks[0] // 2 : ks[0] // 2 + 1]
             ks = (1, *ks[1:])
             pd = ((0, 0), *pd[1:])
+        elif (
+            # Depth-3 decomposition: a (3,kh,kw) conv at unit depth stride is
+            # three folded 2-D convs plus shift-adds — identical FLOPs, but
+            # it compiles and runs through the far better-optimized 2-D conv
+            # path (the encoder hot path for MMVit2/RFNet/mmformer and the
+            # MMVit4 stem/decoder).
+            nsp == 3
+            and ks[0] == 3
+            and st[0] == 1
+            and dl[0] == 1
+            and pd[0] in ((1, 1), (1, 0))
+            and self.pad_mode in ("replicate", "zeros")
+            and x.shape[1] >= 2
+        ):
+            return self._depth3_decomposed(x, kernel, bias, st, pd, dl, cdtype)
         if self.pad_mode != "zeros" and any(lo or hi for lo, hi in pd):
             cfg = [(0, 0)] + list(pd) + [(0, 0)]
             mode = {"replicate": "edge", "reflect": "reflect"}[self.pad_mode]
@@ -159,6 +174,49 @@ class Conv(fnn.Module):
         )  # XLA accumulates low-precision convs in f32 on the MXU
         if fold:
             y = y.reshape(*orig_shape[: 1 + fold], *y.shape[1:])
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y.astype(cdtype)
+
+    def _depth3_decomposed(self, x, kernel, bias, st, pd, dl, cdtype):
+        """y[:, d] = sum_t conv2d(x[:, d+t-1], W[t]) with boundary handling
+        from the depth padding mode. Exact (torch-parity tested)."""
+        b, d_, h_, w_, cin = x.shape
+        xf = x.reshape(b * d_, h_, w_, cin)
+        if self.pad_mode == "replicate" and (pd[1] != (0, 0) or pd[2] != (0, 0)):
+            xf = jnp.pad(xf, [(0, 0), pd[1], pd[2], (0, 0)], mode="edge")
+            pad2d = [(0, 0), (0, 0)]
+        else:
+            pad2d = [pd[1], pd[2]]
+        dn2 = _dim_numbers(4)
+        zs = []
+        for t in range(3):
+            zt = jax.lax.conv_general_dilated(
+                xf,
+                kernel[t],
+                window_strides=st[1:],
+                padding=pad2d,
+                rhs_dilation=dl[1:],
+                dimension_numbers=dn2,
+                feature_group_count=self.groups,
+            )
+            zs.append(zt.reshape(b, d_, *zt.shape[1:]))
+        z0, z1, z2 = zs
+        out_d = d_ if pd[0] == (1, 1) else d_ - 1
+        if self.pad_mode == "replicate":
+            top = z0[:, :1]
+        else:
+            top = jnp.zeros_like(z0[:, :1])
+        z0_shift = jnp.concatenate([top, z0[:, : out_d - 1]], axis=1)
+        if pd[0] == (1, 1):
+            if self.pad_mode == "replicate":
+                bottom = z2[:, -1:]
+            else:
+                bottom = jnp.zeros_like(z2[:, :1])
+            z2_shift = jnp.concatenate([z2[:, 1:], bottom], axis=1)
+        else:  # (1, 0): every d+1 index exists, no bottom boundary
+            z2_shift = z2[:, 1:out_d + 1]
+        y = z0_shift + z1[:, :out_d] + z2_shift
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y.astype(cdtype)
