@@ -126,3 +126,28 @@ def test_double_sigmoid_composition():
     want = torch.nn.BCEWithLogitsLoss()(torch.from_numpy(probs), torch.from_numpy(y))
     got = bce_with_logits(jnp.asarray(probs), jnp.asarray(y))
     np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
+
+
+def test_jaccard2_masked_all_background_with_padding():
+    """The all-background inversion must not count padded rows as background
+    (padding interacts with the inversion: inverted y would be 1 there)."""
+    from corrifnet_tpu.metrics import jaccard2, jaccard2_masked
+
+    rng = np.random.default_rng(4)
+    y = np.zeros((100, 1), np.float32)  # all background
+    y_pred = rng.random((100, 1)).astype(np.float32)
+    want = np_jaccard2(y, y_pred)
+
+    pad = np.zeros((40, 1), np.float32)
+    y_p = np.concatenate([y, pad])
+    yp_p = np.concatenate([y_pred, np.full((40, 1), 0.9, np.float32)])
+    valid = np.concatenate([np.ones((100, 1)), np.zeros((40, 1))]).astype(np.float32)
+    got = jaccard2_masked(jnp.asarray(y_p), jnp.asarray(yp_p), jnp.asarray(valid))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+    # and with a non-empty mask
+    y2 = (rng.random((100, 1)) > 0.6).astype(np.float32)
+    want2 = np_jaccard2(y2, y_pred)
+    y2_p = np.concatenate([y2, pad])
+    got2 = jaccard2_masked(jnp.asarray(y2_p), jnp.asarray(yp_p), jnp.asarray(valid))
+    np.testing.assert_allclose(np.asarray(got2), want2, rtol=1e-6)
