@@ -58,10 +58,18 @@ def test_run_experiment_end_to_end(tmp_path):
     cv._SPLITS_DIR = tmp_path
     try:
         result = run_experiment(cfg, run_root=tmp_path, index=0)
+        run_dir = Path(result["run_dir"])
+
+        # batch re-evaluation (allJaccardResults path) with per-image segplots
+        from corrifnet_tpu.run.evaluate import evaluate_run
+
+        seg_dir = run_dir / "overlays"
+        r = evaluate_run(run_dir, cfg, index=0, segplot_dir=seg_dir)
+        assert r["n_images"] == 6  # 24/4 test fold
+        assert 0 <= r["jaccard_mean"] <= 1 and 0 <= r["f1_mean"] <= 1
+        assert len(list(seg_dir.glob("segmentation_image_*.png"))) == 6
     finally:
         cv._SPLITS_DIR = old
-
-    run_dir = Path(result["run_dir"])
     # seven log files + fps + checkpoints + summary + overlay
     for f in ["trainFile.txt", "valFile.txt", "testFile.txt", "trainaccFile.txt",
               "valaccFile.txt", "testaccFile.txt", "trainepochFile.txt",
