@@ -341,6 +341,7 @@ class GeneralConv3d(fnn.Module):
     act: str = "relu"  # 'relu' | 'lrelu'
     relufactor: float = 0.2
     order: str = "act_norm"  # 'act_norm' | 'norm_act'
+    use_pallas_epilogue: bool = False  # fused ReLU+IN kernel (ops.instancenorm)
     kernel_init: Callable = tinit.kaiming_normal  # MMVit4 re-init, mmvit4.py:437-439
     dtype: Dtype = None
 
@@ -356,6 +357,15 @@ class GeneralConv3d(fnn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
+        if (
+            self.use_pallas_epilogue
+            and self.order == "act_norm"
+            and self.act == "relu"
+            and self.norm == "in"
+        ):
+            from corrifnet_tpu.ops import relu_instancenorm
+
+            return relu_instancenorm(x)
 
         def apply_act(x):
             if self.act == "relu":
