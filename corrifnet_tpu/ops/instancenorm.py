@@ -62,10 +62,22 @@ def _fused_fwd(x, eps):
     for s in x.shape[1:-1]:
         n *= s
     flat = x.reshape(b, n, c)
-    spec = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    # channel blocking: per-channel stats are independent, so tile C when a
+    # full (N, C) slab won't fit VMEM. Mosaic requires the last block dim to
+    # be the full axis or a multiple of 128; slabs that can't tile legally
+    # fall back to the XLA path.
+    budget = 3 * 1024 * 1024  # bytes per buffer
+    cb = c
+    while n * cb * 4 > budget:
+        if cb % 2 or (cb // 2) % 128:
+            break
+        cb //= 2
+    if n * cb * 4 > budget:
+        return relu_instancenorm_xla(x, eps)
+    spec = pl.BlockSpec((1, n, cb), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, eps),
-        grid=(b,),
+        grid=(b, pl.cdiv(c, cb)),
         in_specs=[spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(flat.shape, x.dtype),
