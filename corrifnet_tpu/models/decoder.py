@@ -58,6 +58,7 @@ class DecoderFuse(fnn.Module):
     num_cls: int = 1
     depth_mode: str = "pruned"  # 'full' | 'pruned'
     use_reduce: bool = True  # RFM5_reduce present (MMVit4) or not (MMVit2)
+    use_pallas_epilogue: bool = False  # fused ReLU+IN kernel on TPU
     dtype: Dtype = None
 
     @fnn.compact
@@ -77,7 +78,8 @@ class DecoderFuse(fnn.Module):
             else:
                 padding = pad
             return GeneralConv3d(
-                feat, k, 1, padding, pad_mode="replicate", dtype=dt, name=name
+                feat, k, 1, padding, pad_mode="replicate",
+                use_pallas_epilogue=self.use_pallas_epilogue, dtype=dt, name=name
             )
 
         def up2(x, src_d, dst_prefix, hw):
@@ -91,7 +93,7 @@ class DecoderFuse(fnn.Module):
             return resize_nearest(x, (dst_d, *hw))
 
         # ---- level 5: multimodal bottleneck (8^3) -------------------------
-        de_x5 = FusionPrenorm(BD * 8 * 3, dtype=dt, name="RFM5")(x5, train)
+        de_x5 = FusionPrenorm(BD * 8 * 3, use_pallas_epilogue=self.use_pallas_epilogue, dtype=dt, name="RFM5")(x5, train)
         if self.use_reduce:
             de_x5 = Conv(
                 BD * 16, 1, kernel_init=tinit.kaiming_normal, dtype=dt,
@@ -101,7 +103,7 @@ class DecoderFuse(fnn.Module):
         de_x5 = gconv(BD * 16, 3, 1, "d4_c1")(de_x5, train)
 
         # ---- level 4 ------------------------------------------------------
-        de_x4 = FusionPrenorm(BD * 8 * 3, dtype=dt, name="RFM4")(x4, train)
+        de_x4 = FusionPrenorm(BD * 8 * 3, use_pallas_epilogue=self.use_pallas_epilogue, dtype=dt, name="RFM4")(x4, train)
         de_x4 = skip_resize(de_x4, 16, 4, (16, 16))
         de_x4 = jnp.concatenate([de_x4, de_x5], axis=-1)  # 192+128=320
         de_x4 = gconv(BD * 8, 3, 1, "d4_c2")(de_x4, train)
@@ -110,7 +112,7 @@ class DecoderFuse(fnn.Module):
         de_x4 = gconv(BD * 4, 3, 1, "d3_c1")(de_x4, train)
 
         # ---- level 3 ------------------------------------------------------
-        de_x3 = FusionPrenorm(BD * 4 * 3, dtype=dt, name="RFM3")(x3, train)
+        de_x3 = FusionPrenorm(BD * 4 * 3, use_pallas_epilogue=self.use_pallas_epilogue, dtype=dt, name="RFM3")(x3, train)
         de_x3 = skip_resize(de_x3, 32, 4, (32, 32))
         de_x3 = jnp.concatenate([de_x3, de_x4], axis=-1)  # 96+32=128
         de_x3 = gconv(BD * 4, 3, 1, "d3_c2")(de_x3, train)
@@ -119,7 +121,7 @@ class DecoderFuse(fnn.Module):
         de_x3 = gconv(BD * 2, 3, 1, "d2_c1")(de_x3, train)
 
         # ---- level 2 ------------------------------------------------------
-        de_x2 = FusionPrenorm(BD * 2 * 3, dtype=dt, name="RFM2")(x2, train)
+        de_x2 = FusionPrenorm(BD * 2 * 3, use_pallas_epilogue=self.use_pallas_epilogue, dtype=dt, name="RFM2")(x2, train)
         de_x2 = skip_resize(de_x2, 64, 4, (64, 64))
         de_x2 = jnp.concatenate([de_x2, de_x3], axis=-1)  # 48+16=64
         de_x2 = gconv(BD * 2, 3, 1, "d2_c2")(de_x2, train)
@@ -128,7 +130,7 @@ class DecoderFuse(fnn.Module):
         de_x2 = gconv(BD, 3, 1, "d1_c1")(de_x2, train)
 
         # ---- level 1 ------------------------------------------------------
-        de_x1 = FusionPrenorm(BD * 3, dtype=dt, name="RFM1")(x1, train)
+        de_x1 = FusionPrenorm(BD * 3, use_pallas_epilogue=self.use_pallas_epilogue, dtype=dt, name="RFM1")(x1, train)
         de_x1 = skip_resize(de_x1, 128, 3, (128, 128))
         de_x1 = jnp.concatenate([de_x1, de_x2], axis=-1)  # 24+8=32
         de_x1 = gconv(BD, 3, 1, "d1_c2")(de_x1, train)

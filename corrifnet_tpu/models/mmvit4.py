@@ -162,6 +162,7 @@ class MMVit4(fnn.Module):
         )(x6_inter)
 
         return DecoderFuse(
-            num_cls=self.num_cls, depth_mode=self.depth_mode, dtype=self.dtype,
+            num_cls=self.num_cls, depth_mode=self.depth_mode,
+            use_pallas_epilogue=self.use_pallas, dtype=self.dtype,
             name="decoder",
         )(fused_x1, fused_x2, fused_x3, fused_x4, x6_inter, train)

@@ -395,14 +395,19 @@ class FusionPrenorm(fnn.Module):
 
     in_channel: int = 64
     num_cls: int = 1
+    use_pallas_epilogue: bool = False
     dtype: Dtype = None
 
     @fnn.compact
     def __call__(self, x, train: bool = True):
         c = self.in_channel
-        x = GeneralConv3d(c, 1, 1, 0, dtype=self.dtype, name="l0")(x, train)
-        x = GeneralConv3d(c, 3, 1, 1, dtype=self.dtype, name="l1")(x, train)
-        x = GeneralConv3d(c, 1, 1, 0, dtype=self.dtype, name="l2")(x, train)
+        pe = self.use_pallas_epilogue
+        x = GeneralConv3d(c, 1, 1, 0, use_pallas_epilogue=pe,
+                          dtype=self.dtype, name="l0")(x, train)
+        x = GeneralConv3d(c, 3, 1, 1, use_pallas_epilogue=pe,
+                          dtype=self.dtype, name="l1")(x, train)
+        x = GeneralConv3d(c, 1, 1, 0, use_pallas_epilogue=pe,
+                          dtype=self.dtype, name="l2")(x, train)
         return x
 
 

@@ -46,12 +46,15 @@ def relu_instancenorm_xla(x, eps=1e-5):
 
 
 def _kernel(eps, x_ref, o_ref):
-    x = x_ref[0].astype(jnp.float32)  # (N, C)
+    # transposed layout: (C, N) — channels on sublanes, spatial on lanes.
+    # Channel counts in this zoo are small (8..320); putting them on the
+    # 128-wide lane axis would pad tiny-C big-N slabs up to ~16x in VMEM.
+    x = x_ref[0].astype(jnp.float32)  # (C, N)
     y = jnp.maximum(x, 0.0)
-    n = y.shape[0]
-    mean = y.sum(axis=0, keepdims=True) / n
+    n = y.shape[1]
+    mean = y.sum(axis=1, keepdims=True) / n
     d = y - mean
-    var = (d * d).sum(axis=0, keepdims=True) / n
+    var = (d * d).sum(axis=1, keepdims=True) / n
     o_ref[0] = (d * jax.lax.rsqrt(var + eps)).astype(o_ref.dtype)
 
 
@@ -61,29 +64,22 @@ def _fused_fwd(x, eps):
     n = 1
     for s in x.shape[1:-1]:
         n *= s
-    flat = x.reshape(b, n, c)
-    # channel blocking: per-channel stats are independent, so tile C when a
-    # full (N, C) slab won't fit VMEM. Mosaic requires the last block dim to
-    # be the full axis or a multiple of 128; slabs that can't tile legally
-    # fall back to the XLA path.
-    budget = 3 * 1024 * 1024  # bytes per buffer
-    cb = c
-    while n * cb * 4 > budget:
-        if cb % 2 or (cb // 2) % 128:
-            break
-        cb //= 2
-    if n * cb * 4 > budget:
+    # pad-aware VMEM estimate: sublanes to 8, lanes to 128
+    pad_c = -(-c // 8) * 8
+    pad_n = -(-n // 128) * 128
+    if pad_c * pad_n * 4 > 4 * 1024 * 1024:
         return relu_instancenorm_xla(x, eps)
-    spec = pl.BlockSpec((1, n, cb), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)
+    flat = x.reshape(b, n, c).swapaxes(1, 2)  # (B, C, N)
+    spec = pl.BlockSpec((1, c, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, eps),
-        grid=(b, pl.cdiv(c, cb)),
+        grid=(b,),
         in_specs=[spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(flat.shape, x.dtype),
         interpret=INTERPRET,
     )(flat)
-    return out.reshape(x.shape)
+    return out.swapaxes(1, 2).reshape(x.shape)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
