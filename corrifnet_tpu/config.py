@@ -50,6 +50,7 @@ class ExperimentConfig:
     synthetic_seed: Optional[int] = None
     seed: int = 0
     transfer_checkpoint: Optional[str] = None  # warm start (transfertype=yestr)
+    mesh_shape: Optional[list] = None   # [data, model] for SPMD training
 
     @property
     def jax_dtype(self):

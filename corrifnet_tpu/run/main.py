@@ -143,6 +143,13 @@ def run_experiment(cfg: ExperimentConfig, run_root=".", index: int = 0):
     logs = RunLogs.open(run_dir)
     ckpt = Checkpointer(run_dir)
 
+    mesh = None
+    if cfg.mesh_shape:
+        from corrifnet_tpu.parallel import make_mesh
+
+        mesh = make_mesh(tuple(cfg.mesh_shape))
+        print("mesh:", dict(zip(mesh.axis_names, mesh.devices.shape)))
+
     state, history = train_model(
         model, state, optimizer,
         n_epochs=cfg.n_epochs, learn_rate=cfg.learn_rate,
@@ -151,6 +158,7 @@ def run_experiment(cfg: ExperimentConfig, run_root=".", index: int = 0):
         batch_size=cfg.mini_batch_size, lim=cfg.lim,
         logs=logs, ckpt=ckpt, i=index, rng=rng,
         val_from_checkpoint=cfg.val_from_checkpoint,
+        mesh=mesh,
     )
 
     test_loss, test_jac, fps, first_outputs = test_model(
@@ -171,6 +179,16 @@ def run_experiment(cfg: ExperimentConfig, run_root=".", index: int = 0):
     _write_summary_log(run_dir, cfg, begin, trind, vlind, test_jac, model)
     _write_curves(run_dir, history)
     ckpt.close()
+
+    # device-memory telemetry before/after releasing the model state
+    # (torch.cuda.memory_allocated parity, F2_MAIN.py:306-309)
+    from corrifnet_tpu.utils.profiling import device_memory_stats, live_array_bytes
+
+    print(f"Memory allocated before model {index}", live_array_bytes(),
+          device_memory_stats().get("bytes_in_use", "n/a"))
+    del state
+    print(f"Memory allocated after model {index}", live_array_bytes(),
+          device_memory_stats().get("bytes_in_use", "n/a"))
     return {
         "run_dir": str(run_dir),
         "test_loss": test_loss,

@@ -110,9 +110,21 @@ def train_model(
     rng=None,
     val_from_checkpoint: bool = True,
     checkpoint_every_epoch: bool = True,
+    mesh=None,
 ):
-    """F4_TRAIN.py:39-86 equivalent. Returns the final TrainState."""
+    """F4_TRAIN.py:39-86 equivalent. Returns the final TrainState.
+
+    With ``mesh`` (a ('data','model') jax.sharding.Mesh) the state is
+    sharded by the tensor-parallel rules and batches ride the data axis —
+    XLA inserts the gradient psums/all-gathers (SPMD; new capability vs the
+    single-GPU reference, SURVEY §5.8)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+    batch_sh = None
+    if mesh is not None:
+        from corrifnet_tpu.parallel import batch_sharding, shard_state
+
+        state = shard_state(state, mesh)
+        batch_sh = batch_sharding(mesh)
     train_step = make_train_step(model, optimizer)
     eval_step = make_eval_step(model)
 
@@ -133,7 +145,7 @@ def train_model(
 
         batch_losses, jI, total = [], 0.0, 0.0
         for batch in device_prefetch(
-            batch_iterator(images, masks, trind, batch_size)
+            batch_iterator(images, masks, trind, batch_size), sharding=batch_sh
         ):
             rng, sub = jax.random.split(rng)
             state, m = train_step(

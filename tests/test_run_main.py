@@ -86,6 +86,28 @@ def test_run_experiment_end_to_end(tmp_path):
     assert summaries and "TinySeg5D" in summaries[0].read_text()
 
 
+def test_run_experiment_distributed_mesh(tmp_path):
+    """The same driver path under a (4,2) dp+tp mesh on the 8 virtual CPU
+    devices — distributed training as a first-class CLI capability."""
+    from corrifnet_tpu.data import write_permutation
+    import corrifnet_tpu.data.crossval as cv
+
+    write_permutation(16, tmp_path, seed=1)
+    cfg = ExperimentConfig(
+        train_set_size=16, fno=1, fsiz=4, mini_batch_size=4, n_epochs=1,
+        learn_rate=1e-3, modeltype="TinySeg5D", lim=224,
+        synthetic_seed=1, dtype="float32", mesh_shape=[4, 2],
+    )
+    old = cv._SPLITS_DIR
+    cv._SPLITS_DIR = tmp_path
+    try:
+        result = run_experiment(cfg, run_root=tmp_path, index=0)
+    finally:
+        cv._SPLITS_DIR = old
+    assert np.isfinite(result["test_loss"])
+    assert 0 <= result["test_jaccard"] <= 1
+
+
 def test_text_config_roundtrip(tmp_path):
     """18-line positional parser must match F2_MAIN.py:62-83 field order."""
     lines = ["5985", "2", "5", "0.1", "4", "70", "0.0001", "Adam",
