@@ -47,8 +47,8 @@ __all__ = ["run_experiment", "main"]
 
 def _build_model(cfg: ExperimentConfig):
     spec = get_spec(cfg.modeltype)
-    kwargs = {}
-    if cfg.modeltype == "MMVit4":
+    if cfg.modeltype in ("MMVit4", "MMVit2", "mmformer"):
+        # these share the Pallas correlation path + depth-pruned decoder
         kwargs = dict(
             dtype=cfg.jax_dtype,
             use_pallas=cfg.use_pallas,
