@@ -84,17 +84,37 @@ def resize_linear(x: jnp.ndarray, size: Sequence[int], align_corners: bool = Tru
     return y.astype(dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _nearest_matrix(src: int, dst: int) -> np.ndarray:
+    """(dst, src) one-hot gather matrix for nearest resize. Expressing the
+    gather as a matmul makes the BACKWARD a matmul too (the transpose of a
+    jnp.take is a scatter-add while-loop on TPU — measured at ~11 ms/step
+    in the MMVit4 decoder before this change)."""
+    w = np.zeros((dst, src), dtype=np.float32)
+    w[np.arange(dst), _nearest_indices(src, dst)] = 1.0
+    return w
+
+
 def resize_nearest(x: jnp.ndarray, size: Sequence[int]):
-    """Nearest-neighbour resize (torch ``F.interpolate`` default mode)."""
+    """Nearest-neighbour resize (torch ``F.interpolate`` default mode).
+
+    Upsampling axes use the one-hot-matmul form (exact: one 1.0 per row);
+    downsampling or same-size axes keep the cheap gather."""
     spatial_axes = tuple(range(1, x.ndim - 1))
     assert len(size) == len(spatial_axes), (x.shape, size)
+    dtype = x.dtype
     y = x
     for ax, dst in zip(spatial_axes, size):
         src = y.shape[ax]
         if src == dst:
             continue
-        idx = jnp.asarray(_nearest_indices(src, dst))
-        y = jnp.take(y, idx, axis=ax)
+        if dst > src:
+            w = jnp.asarray(_nearest_matrix(src, dst))
+            y = jnp.tensordot(w, y.astype(jnp.float32), axes=[[1], [ax]])
+            y = jnp.moveaxis(y, 0, ax).astype(dtype)
+        else:
+            idx = jnp.asarray(_nearest_indices(src, dst))
+            y = jnp.take(y, idx, axis=ax)
     return y
 
 
