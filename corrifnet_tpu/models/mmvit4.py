@@ -83,6 +83,7 @@ class MMVit4(fnn.Module):
     dtype: Dtype = None
     use_pallas: bool = True
     depth_mode: str = "pruned"  # decoder depth mode: 'full' | 'pruned'
+    remat_mode: str = "all"  # encoder scan remat: 'all' | 'early' | 'none'
 
     @fnn.compact
     def __call__(self, x, train: bool = False):
@@ -98,9 +99,9 @@ class MMVit4(fnn.Module):
             variable_axes={"params": 0, "batch_stats": 0},
             split_rngs={"params": True, "dropout": True},
         )
-        e1, e2, e3, e4, e5, e6 = VEncoder(dtype=self.dtype, name="encoders")(
-            vol, train
-        )
+        e1, e2, e3, e4, e5, e6 = VEncoder(
+            remat_mode=self.remat_mode, dtype=self.dtype, name="encoders"
+        )(vol, train)
 
         # Early fusion per level (mmvit4.py:449-454).
         fused = [

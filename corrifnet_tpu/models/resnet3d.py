@@ -105,15 +105,21 @@ class _BottleneckTail(fnn.Module):
     width: int
     n: int
     train: bool
+    remat_mode: str = "all"  # 'all' | 'early' (only widths <= 128) | 'none'
     dtype: Dtype = None
 
     @fnn.compact
     def __call__(self, x):
         # remat each scanned block: only block-boundary carries are stored,
-        # activations recompute in the backward pass. Measured on v5e: the
-        # recompute costs <5% wall (the model is launch/bandwidth-bound, not
-        # FLOP-bound) and buys ~3x activation-memory headroom (batch 16+).
-        body = fnn.remat(_TailBody)
+        # activations recompute in the backward pass. 'all' buys ~3x
+        # activation-memory headroom (batch 16+ on v5e); 'early' stores the
+        # deep layers' small activations to skip their recompute.
+        if self.remat_mode == "all" or (
+            self.remat_mode == "early" and self.width <= 128
+        ):
+            body = fnn.remat(_TailBody)
+        else:
+            body = _TailBody
         Scanned = fnn.scan(
             body,
             variable_axes={"params": 0, "batch_stats": 0},
@@ -135,6 +141,7 @@ class ResNet3DEncoder(fnn.Module):
     (mmvit4.py:159-194).
     """
 
+    remat_mode: str = "all"  # see _BottleneckTail
     dtype: Dtype = None
 
     @fnn.compact
@@ -168,6 +175,7 @@ class ResNet3DEncoder(fnn.Module):
                     width=width,
                     n=blocks - 1,
                     train=train,
+                    remat_mode=self.remat_mode,
                     dtype=self.dtype,
                     name=f"layer{li + 1}_tail",
                 )(y)
