@@ -118,20 +118,26 @@ class Conv(fnn.Module):
             ks = (1, *ks[1:])
             pd = ((0, 0), *pd[1:])
         elif (
-            # Depth-3 decomposition: a (3,kh,kw) conv at unit depth stride is
-            # three folded 2-D convs plus shift-adds — identical FLOPs, but
+            # Depth-3 decomposition: a (3,kh,kw) conv decomposes into three
+            # folded 2-D convs combined along depth — identical FLOPs, but
             # it compiles and runs through the far better-optimized 2-D conv
             # path (the encoder hot path for MMVit2/RFNet/mmformer and the
-            # MMVit4 stem/decoder).
+            # MMVit4 stem/decoder). Unit depth stride uses shift-adds;
+            # stride-2 (the conv-encoder downsamplers) uses small one-hot
+            # depth-combination matrices (MXU matmuls, clean backward).
             nsp == 3
             and ks[0] == 3
-            and st[0] == 1
             and dl[0] == 1
-            and pd[0] in ((1, 1), (1, 0))
+            and (
+                (st[0] == 1 and pd[0] in ((1, 1), (1, 0)))
+                or (st[0] == 2 and pd[0] == (1, 1))
+            )
             and self.pad_mode in ("replicate", "zeros")
             and x.shape[1] >= 2
         ):
-            return self._depth3_decomposed(x, kernel, bias, st, pd, dl, cdtype)
+            if st[0] == 1:
+                return self._depth3_decomposed(x, kernel, bias, st, pd, dl, cdtype)
+            return self._depth3_strided(x, kernel, bias, st, pd, dl, cdtype)
         if self.pad_mode != "zeros" and any(lo or hi for lo, hi in pd):
             cfg = [(0, 0)] + list(pd) + [(0, 0)]
             mode = {"replicate": "edge", "reflect": "reflect"}[self.pad_mode]
@@ -220,6 +226,51 @@ class Conv(fnn.Module):
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y.astype(cdtype)
+
+    def _depth3_strided(self, x, kernel, bias, st, pd, dl, cdtype):
+        """Depth-stride-2 variant: y[:, j] = sum_t z_t[2j + t - 1] with
+        boundary clamping, realized as (out_d, D) one-hot matmuls."""
+        import numpy as np
+
+        b, d_, h_, w_, cin = x.shape
+        out_d = (d_ - 1) // 2 + 1
+        xf = x.reshape(b * d_, h_, w_, cin)
+        if self.pad_mode == "replicate" and (pd[1] != (0, 0) or pd[2] != (0, 0)):
+            xf = jnp.pad(xf, [(0, 0), pd[1], pd[2], (0, 0)], mode="edge")
+            pad2d = [(0, 0), (0, 0)]
+        else:
+            pad2d = [pd[1], pd[2]]
+        dn2 = _dim_numbers(4)
+        y = None
+        for t in range(3):
+            zt = jax.lax.conv_general_dilated(
+                xf, kernel[t], window_strides=st[1:], padding=pad2d,
+                rhs_dilation=dl[1:], dimension_numbers=dn2,
+                feature_group_count=self.groups,
+            ).reshape(b, d_, -1)
+            g = np.zeros((out_d, d_), dtype=np.float32)
+            for j in range(out_d):
+                src = 2 * j + t - 1
+                if 0 <= src < d_:
+                    g[j, src] = 1.0
+                elif self.pad_mode == "replicate":
+                    g[j, min(max(src, 0), d_ - 1)] = 1.0
+                # zeros mode: out-of-range taps contribute nothing
+            term = jnp.einsum("od,bdf->bof", jnp.asarray(g), zt.astype(jnp.float32))
+            y = term if y is None else y + term
+        # recover spatial dims from one conv output
+        zshape = jax.eval_shape(
+            lambda a: jax.lax.conv_general_dilated(
+                a, kernel[0], window_strides=st[1:], padding=pad2d,
+                rhs_dilation=dl[1:], dimension_numbers=dn2,
+                feature_group_count=self.groups,
+            ),
+            jax.ShapeDtypeStruct(xf.shape, cdtype),
+        ).shape
+        y = y.reshape(b, out_d, zshape[1], zshape[2], zshape[3]).astype(cdtype)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 def _dim_numbers(rank):

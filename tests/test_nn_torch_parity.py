@@ -172,3 +172,22 @@ def test_reinterpreting_reshape_matches_torch_view():
     want = torch.from_numpy(tokens).view(b, p, p, p, 2 * c).numpy()
     got = np.asarray(jnp.asarray(tokens).reshape(b, p, p, p, 2 * c))
     np.testing.assert_array_equal(got, want)
+
+
+def test_conv3d_depth3_stride2_matches_torch():
+    """Stride-2 depth decomposition (MMVit2/RFNet encoder downsamplers)."""
+    for D in (2, 3, 5):
+        for mode in ("replicate", "zeros"):
+            x = _vol((2, D, 8, 8, 4), seed=D)
+            tconv = torch.nn.Conv3d(4, 5, 3, stride=2, padding=1,
+                                    padding_mode=mode)
+            conv = Conv(5, 3, strides=2, padding=1, pad_mode=mode)
+            w = tconv.weight.detach().numpy().transpose(2, 3, 4, 1, 0)
+            params = {"kernel": jnp.asarray(w),
+                      "bias": jnp.asarray(tconv.bias.detach().numpy())}
+            got = np.asarray(conv.apply({"params": params}, jnp.asarray(x)))
+            want = np.moveaxis(
+                tconv(torch.from_numpy(np.moveaxis(x, -1, 1).copy()))
+                .detach().numpy(), 1, -1)
+            np.testing.assert_allclose(got, want, atol=1e-5,
+                                       err_msg=f"D={D} {mode}")
