@@ -124,28 +124,44 @@ def synthetic_dstl(
     return normalize_per_fold(rgb, nir, swir, masks, trind)
 
 
-def _load_mat_dir(directory: str, limit: int, key: str = "inputPatch"):
-    """Read up to ``limit`` .mat files (sorted as os.listdir) from a dir.
-
-    Prefers the native C++ MAT v5 reader (corrifnet_tpu.data.native, the
-    reference's disk hot spot F8_IMAGES4.py:20-34); falls back to scipy."""
+def _load_one_mat(path: str, key: str = "inputPatch"):
+    """Read one .mat array, preferring the native C++ MAT v5 reader
+    (corrifnet_tpu.data.native, the reference's disk hot spot
+    F8_IMAGES4.py:20-34); falls back to scipy."""
     try:
         from corrifnet_tpu.data.native import load_mat, native_available
 
         use_native = native_available()
     except Exception:
         use_native = False
+    arr = load_mat(path, key) if use_native else None
+    if arr is None:
+        import scipy.io as sio
 
-    names = sorted(os.listdir(directory))[:limit]
+        arr = sio.loadmat(path, verify_compressed_data_integrity=False)[key]
+    return arr
+
+
+def _load_mat_dir(directory: str, limit: int, key: str = "inputPatch",
+                  names=None):
+    """Read up to ``limit`` .mat files from a dir.
+
+    When ``names`` is given, exactly those files are loaded (missing
+    counterparts raise) — the reference pairs masks with RGB patches by
+    filename (``class06_mats/{rgb_name}``, F8_IMAGES4.py:26), so pairing by
+    independent sorted listings would silently misalign the dataset if one
+    directory had an extra or missing file."""
+    if names is None:
+        names = sorted(os.listdir(directory))[:limit]
     arrays = []
     for name in names:
         path = os.path.join(directory, name)
-        arr = load_mat(path, key) if use_native else None
-        if arr is None:
-            import scipy.io as sio
-
-            arr = sio.loadmat(path, verify_compressed_data_integrity=False)[key]
-        arrays.append(arr)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"counterpart file {name!r} missing from {directory} — "
+                "RGB/cube/mask directories must share filenames"
+            )
+        arrays.append(_load_one_mat(path, key))
     return names, np.asarray(arrays, dtype=np.float32)
 
 
@@ -158,8 +174,8 @@ def pack_mat_directory(
     spot at F8_IMAGES4.py:20-34) with one compressed pack.
     """
     names, rgb_hwc = _load_mat_dir(rgb_dir, limit)
-    _, cube = _load_mat_dir(all20_dir, limit)
-    _, mask_hw = _load_mat_dir(mask_dir, limit)
+    _, cube = _load_mat_dir(all20_dir, limit, names=names)
+    _, mask_hw = _load_mat_dir(mask_dir, limit, names=names)
 
     nir = cube[..., list(NIR_CHANNELS)]
     swir = cube[..., list(SWIR_CHANNELS)]
@@ -200,9 +216,9 @@ def load_dstl(
     if pack_path and Path(pack_path).exists():
         return load_pack(pack_path, trind, limit=train_set_size)
     if rgb_dir and os.path.isdir(rgb_dir):
-        _, rgb = _load_mat_dir(rgb_dir, train_set_size)
-        _, cube = _load_mat_dir(all20_dir, train_set_size)
-        _, mask = _load_mat_dir(mask_dir, train_set_size)
+        names, rgb = _load_mat_dir(rgb_dir, train_set_size)
+        _, cube = _load_mat_dir(all20_dir, train_set_size, names=names)
+        _, mask = _load_mat_dir(mask_dir, train_set_size, names=names)
         nir = cube[..., list(NIR_CHANNELS)]
         swir = cube[..., list(SWIR_CHANNELS)]
         return normalize_per_fold(

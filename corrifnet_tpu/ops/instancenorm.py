@@ -8,9 +8,15 @@ over the activation; this kernel does ReLU, both statistics and the
 normalization in ONE VMEM residency per sample — the model is
 bandwidth-bound, so fewer HBM passes is the win.
 
-Shapes: channels-last volumes (B, D, H, W, C); grid over B; the full
-(D*H*W, C) slab for one sample must fit VMEM (largest corrifnet slab:
-the pruned decoder's (4, 128, 128, 32) ~= 8 MB f32 — fits).
+Shapes: channels-last volumes (B, D, H, W, C); grid over (B, channel
+tiles). InstanceNorm statistics are per-(sample, channel) — rows of the
+transposed (C, N) slab are independent — so the channel axis tiles freely:
+each block holds (ct, N) with ct chosen so input+output stay well under
+the ~16 MB/core VMEM. The pruned decoder's largest slab, (4, 128, 128, 32)
+= 8 MB f32 per sample, runs as 4 blocks of (8, 65536) = 2 MB each. Only
+when one 8-channel row-tile alone exceeds the budget (e.g. the full-depth
+decoder's 128^3 volumes, which would need two-pass N tiling) does it fall
+back to the XLA path.
 
 Backward: custom VJP recomputing through the XLA composition (exact same
 math), so gradients are standard-autodiff correct.
@@ -58,22 +64,40 @@ def _kernel(eps, x_ref, o_ref):
     o_ref[0] = (d * jax.lax.rsqrt(var + eps)).astype(o_ref.dtype)
 
 
+_VMEM_BLOCK_BUDGET = 8 * 1024 * 1024  # in + out per block <= half of ~16 MB
+
+
+def _channel_tile(c, n):
+    """Largest channel tile (multiple of 8, <= padded c) whose in+out f32
+    blocks fit the VMEM budget; 0 if even an 8-row tile does not fit."""
+    pad_c = -(-c // 8) * 8
+    pad_n = -(-n // 128) * 128
+
+    def fits(ct):
+        return 2 * ct * pad_n * 4 <= _VMEM_BLOCK_BUDGET
+
+    ct = pad_c
+    while ct > 8 and not fits(ct):
+        ct = -(-(ct // 2) // 8) * 8
+    return ct if fits(ct) else 0
+
+
 def _fused_fwd(x, eps):
     b = x.shape[0]
     c = x.shape[-1]
     n = 1
     for s in x.shape[1:-1]:
         n *= s
-    # pad-aware VMEM estimate: sublanes to 8, lanes to 128
-    pad_c = -(-c // 8) * 8
-    pad_n = -(-n // 128) * 128
-    if pad_c * pad_n * 4 > 4 * 1024 * 1024:
+    ct = _channel_tile(c, n)
+    if ct == 0:
         return relu_instancenorm_xla(x, eps)
     flat = x.reshape(b, n, c).swapaxes(1, 2)  # (B, C, N)
-    spec = pl.BlockSpec((1, c, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec(
+        (1, ct, n), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
     out = pl.pallas_call(
         functools.partial(_kernel, eps),
-        grid=(b,),
+        grid=(b, -(-c // ct)),
         in_specs=[spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(flat.shape, x.dtype),

@@ -44,6 +44,11 @@ __all__ = ["train_model", "validate", "test_model"]
 
 def _run_eval(eval_step, params, batch_stats, images, masks, indices, batch_size, lim):
     """Shared eval loop: (mean loss, weighted Jaccard, first-batch outputs)."""
+    if len(indices) == 0:
+        raise ValueError(
+            "empty evaluation index list (e.g. valRatio rounds the val split "
+            "to 0 samples) — nothing to evaluate"
+        )
     losses, jI, total = [], 0.0, 0.0
     first_outputs = None
     for batch in batch_iterator(images, masks, indices, batch_size):

@@ -61,6 +61,7 @@ static bool read_tag(Cursor& c, uint32_t* type, uint32_t* nbytes,
   if (t > 0xffff) {  // small element format: type in low 16, size in high 16
     *type = t & 0xffff;
     *nbytes = t >> 16;
+    if (*nbytes > 4) return false;  // small elements hold at most 4 bytes
     *data = c.p + c.off + 4;
     *advance = 8;
   } else {
@@ -69,8 +70,20 @@ static bool read_tag(Cursor& c, uint32_t* type, uint32_t* nbytes,
     *data = c.p + c.off + 8;
     size_t padded = (*nbytes + 7) & ~size_t(7);
     *advance = 8 + padded;
+    // Reject tags whose payload extends past the buffer (truncated file).
+    if (c.off + 8 + (size_t)*nbytes > c.len) return false;
   }
   return true;
+}
+
+static size_t mi_elem_size(uint32_t type) {
+  switch (type) {
+    case miINT8: case miUINT8: case miUTF8: return 1;
+    case miINT16: case miUINT16: return 2;
+    case miINT32: case miUINT32: case miSINGLE: return 4;
+    case miDOUBLE: case miINT64: case miUINT64: return 8;
+    default: return 0;
+  }
 }
 
 template <typename T>
@@ -90,6 +103,7 @@ static int parse_matrix(const uint8_t* buf, size_t len, const char* want_name,
 
   // array flags
   if (!read_tag(c, &type, &nbytes, &data, &adv)) return -2;
+  if (nbytes < 4) return -2;
   uint32_t flags;
   memcpy(&flags, data, 4);
   uint8_t cls = flags & 0xff;
@@ -98,9 +112,9 @@ static int parse_matrix(const uint8_t* buf, size_t len, const char* want_name,
   // dimensions
   if (!read_tag(c, &type, &nbytes, &data, &adv)) return -3;
   int nd = nbytes / 4;
-  if (nd > 8) return -4;
+  if (nd < 1 || nd > 8) return -4;
   std::vector<int32_t> dims(nd);
-  memcpy(dims.data(), data, nbytes);
+  memcpy(dims.data(), data, (size_t)nd * 4);
   c.off += adv;
 
   // name
@@ -112,7 +126,16 @@ static int parse_matrix(const uint8_t* buf, size_t len, const char* want_name,
   // real part
   if (!read_tag(c, &type, &nbytes, &data, &adv)) return -6;
   size_t n = 1;
-  for (int i = 0; i < nd; i++) n *= (size_t)dims[i];
+  for (int i = 0; i < nd; i++) {
+    if (dims[i] <= 0) return -4;
+    size_t d = (size_t)dims[i];
+    if (n > SIZE_MAX / d / sizeof(double)) return -4;  // product overflow guard
+    n *= d;
+  }
+  size_t esz = mi_elem_size(type);
+  if (esz == 0) return -8;
+  // The payload must actually hold n elements (truncated/corrupt files).
+  if (n * esz > (size_t)nbytes) return -6;
 
   float* colmajor = (float*)malloc(n * sizeof(float));
   if (!colmajor) return -7;
@@ -196,7 +219,7 @@ int cif_load_mat(const char* path, const char* varname, float** out,
         uint32_t itype, inb;
         memcpy(&itype, raw.data(), 4);
         memcpy(&inb, raw.data() + 4, 4);
-        if (itype == miMATRIX) {
+        if (itype == miMATRIX && (size_t)inb <= raw.size() - 8) {
           int rc = parse_matrix(raw.data() + 8, inb, varname, out, dims_out,
                                 ndims_out);
           if (rc == 0) return 0;
