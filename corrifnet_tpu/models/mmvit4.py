@@ -84,6 +84,7 @@ class MMVit4(fnn.Module):
     use_pallas: bool = True
     depth_mode: str = "pruned"  # decoder depth mode: 'full' | 'pruned'
     remat_mode: str = "all"  # encoder scan remat: 'all' | 'early' | 'none'
+    scan_unroll: int = 1  # encoder tail-scan unroll factor; 0 = full unroll
 
     @fnn.compact
     def __call__(self, x, train: bool = False):
@@ -100,7 +101,8 @@ class MMVit4(fnn.Module):
             split_rngs={"params": True, "dropout": True},
         )
         e1, e2, e3, e4, e5, e6 = VEncoder(
-            remat_mode=self.remat_mode, dtype=self.dtype, name="encoders"
+            remat_mode=self.remat_mode, scan_unroll=self.scan_unroll,
+            dtype=self.dtype, name="encoders"
         )(vol, train)
 
         # Early fusion per level (mmvit4.py:449-454).

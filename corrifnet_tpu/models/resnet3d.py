@@ -106,6 +106,7 @@ class _BottleneckTail(fnn.Module):
     n: int
     train: bool
     remat_mode: str = "all"  # 'all' | 'early' (only widths <= 128) | 'none'
+    scan_unroll: int = 1  # lax.scan unroll factor; 0 = fully unrolled
     dtype: Dtype = None
 
     @fnn.compact
@@ -120,11 +121,13 @@ class _BottleneckTail(fnn.Module):
             body = fnn.remat(_TailBody)
         else:
             body = _TailBody
+        unroll = self.scan_unroll if self.scan_unroll > 0 else self.n
         Scanned = fnn.scan(
             body,
             variable_axes={"params": 0, "batch_stats": 0},
             split_rngs={"params": True},
             length=self.n,
+            unroll=min(unroll, self.n),
         )
         y, _ = Scanned(
             width=self.width, train=self.train, dtype=self.dtype, name="blocks"
@@ -142,6 +145,7 @@ class ResNet3DEncoder(fnn.Module):
     """
 
     remat_mode: str = "all"  # see _BottleneckTail
+    scan_unroll: int = 1  # see _BottleneckTail
     dtype: Dtype = None
 
     @fnn.compact
@@ -176,6 +180,7 @@ class ResNet3DEncoder(fnn.Module):
                     n=blocks - 1,
                     train=train,
                     remat_mode=self.remat_mode,
+                    scan_unroll=self.scan_unroll,
                     dtype=self.dtype,
                     name=f"layer{li + 1}_tail",
                 )(y)

@@ -1,0 +1,225 @@
+"""Import reference PyTorch MMVit4 checkpoints into the TPU framework.
+
+Converts a torch ``state_dict`` of the reference CorrIFNet model
+(mmvit4.py:391-439 — e.g. a loaded ``Finaliremmodel{i}.pt``) into the
+``{"params": ..., "batch_stats": ...}`` variables pytree of
+:class:`corrifnet_tpu.models.mmvit4.MMVit4`. This is both a migration path
+(reference users bring their trained checkpoints) and the basis of the
+full-model numerical parity test (tests/test_full_model_parity.py).
+
+Layout conversions:
+  * Conv3d weights (O, I, KD, KH, KW) -> channels-last (KD, KH, KW, I, O);
+  * 1x1x1 convs that this framework expresses as per-token Dense layers
+    (encode/qkv/decode convs on the 8^3 token grid) -> (I, O) matrices;
+  * Linear weights (O, I) -> (I, O);
+  * BatchNorm3d -> params {scale, bias} + batch_stats {mean, var};
+  * the three per-modality encoders / token streams stack along a leading
+    modality axis (RGB, NIR, SWIR) matching the ``nn.vmap`` parameter axes;
+  * identical tail bottlenecks stack along axis 0 for the ``nn.scan`` rollup
+    (layer{l}_tail/blocks/block).
+
+Dead reference parameters (never used by its forward) are skipped:
+{RGB,NIR,SWIR}_decode_conv, decoder seg_d1..4/seg_layer and up4/8/16
+(mmvit4.py:237-246,497-499 — defined but unused).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Tuple
+
+import numpy as np
+
+__all__ = ["mmvit4_variables_from_state_dict"]
+
+_MODALITIES = ("RGB", "NIR", "SWIR")
+_LAYER_BLOCKS = {1: 3, 2: 4, 3: 6, 4: 3}  # torchvision resnet50
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def _conv_kernel(w) -> np.ndarray:
+    """(O, I, KD, KH, KW) -> (KD, KH, KW, I, O)."""
+    return np.transpose(_np(w), (2, 3, 4, 1, 0))
+
+
+def _dense_from_conv(w) -> np.ndarray:
+    """1x1x1 Conv3d weight -> (I, O) Dense kernel."""
+    w = _np(w)
+    return w.reshape(w.shape[0], w.shape[1]).T
+
+
+def _linear(w) -> np.ndarray:
+    return _np(w).T
+
+
+def _conv(sd, key) -> Dict:
+    out = {"kernel": _conv_kernel(sd[f"{key}.weight"])}
+    if f"{key}.bias" in sd:
+        out["bias"] = _np(sd[f"{key}.bias"])
+    return out
+
+
+def _dense(sd, key) -> Dict:
+    out = {"kernel": _dense_from_conv(sd[f"{key}.weight"])}
+    if f"{key}.bias" in sd:
+        out["bias"] = _np(sd[f"{key}.bias"])
+    return out
+
+
+def _bn(sd, key) -> Tuple[Dict, Dict]:
+    params = {"scale": _np(sd[f"{key}.weight"]), "bias": _np(sd[f"{key}.bias"])}
+    stats = {
+        "mean": _np(sd[f"{key}.running_mean"]),
+        "var": _np(sd[f"{key}.running_var"]),
+    }
+    return params, stats
+
+
+def _bottleneck(sd, key, has_down) -> Tuple[Dict, Dict]:
+    params, stats = {}, {}
+    for ci in (1, 2, 3):
+        params[f"conv{ci}"] = {"kernel": _conv_kernel(sd[f"{key}.conv{ci}.weight"])}
+        p, s = _bn(sd, f"{key}.bn{ci}")
+        params[f"bn{ci}"], stats[f"bn{ci}"] = p, s
+    if has_down:
+        params["down_conv"] = {
+            "kernel": _conv_kernel(sd[f"{key}.downsample.0.weight"])
+        }
+        p, s = _bn(sd, f"{key}.downsample.1")
+        params["down_bn"], stats["down_bn"] = p, s
+    return params, stats
+
+
+def _encoder(sd, prefix) -> Tuple[Dict, Dict]:
+    """One reference Encoder (mmvit4.py:113-194) -> ResNet3DEncoder trees."""
+    params: Dict = {"stem_conv": {"kernel": _conv_kernel(sd[f"{prefix}.e1_c1.weight"])}}
+    stats: Dict = {}
+    p, s = _bn(sd, f"{prefix}.e1_bn")
+    params["stem_bn"], stats["stem_bn"] = p, s
+
+    for li, blocks in _LAYER_BLOCKS.items():
+        tkey = f"{prefix}.e{li + 1}"  # reference e2..e5 = resnet layer1..4
+        p, s = _bottleneck(sd, f"{tkey}.0", has_down=True)
+        params[f"layer{li}_block0"], stats[f"layer{li}_block0"] = p, s
+        if blocks > 1:
+            tail_p, tail_s = [], []
+            for bi in range(1, blocks):
+                p, s = _bottleneck(sd, f"{tkey}.{bi}", has_down=False)
+                tail_p.append(p)
+                tail_s.append(s)
+            params[f"layer{li}_tail"] = {"blocks": {"block": _stack_trees(tail_p)}}
+            stats[f"layer{li}_tail"] = {"blocks": {"block": _stack_trees(tail_s)}}
+
+    for i in range(1, 6):
+        params[f"adapt{i}"] = _conv(sd, f"{prefix}.adapt{i}")
+    params["conv6"] = _conv(sd, f"{prefix}.conv6")
+    return params, stats
+
+
+def _transformer(sd, prefix, depth=1) -> Dict:
+    """Reference Transformer (mmvit4.py:360-388) -> nn.Transformer params."""
+    out: Dict = {}
+    for j in range(depth):
+        attn = f"{prefix}.cross_attention_list.{j}.fn"
+        out[f"attn_norm_{j}"] = {
+            "scale": _np(sd[f"{attn}.norm.weight"]),
+            "bias": _np(sd[f"{attn}.norm.bias"]),
+        }
+        out[f"attn_{j}"] = {
+            "qkv": {"kernel": _linear(sd[f"{attn}.fn.qkv.weight"])},
+            "proj": {
+                "kernel": _linear(sd[f"{attn}.fn.proj.weight"]),
+                "bias": _np(sd[f"{attn}.fn.proj.bias"]),
+            },
+        }
+        ffn = f"{prefix}.cross_ffn_list.{j}.fn"
+        out[f"ffn_norm_{j}"] = {
+            "scale": _np(sd[f"{ffn}.norm.weight"]),
+            "bias": _np(sd[f"{ffn}.norm.bias"]),
+        }
+        out[f"ffn_{j}"] = {
+            "fc1": {
+                "kernel": _linear(sd[f"{ffn}.fn.net.0.weight"]),
+                "bias": _np(sd[f"{ffn}.fn.net.0.bias"]),
+            },
+            "fc2": {
+                "kernel": _linear(sd[f"{ffn}.fn.net.3.weight"]),
+                "bias": _np(sd[f"{ffn}.fn.net.3.bias"]),
+            },
+        }
+    return out
+
+
+def _stack_trees(trees):
+    """Stack a list of identically-structured {str: ...} trees along axis 0."""
+    first = trees[0]
+    if isinstance(first, dict):
+        return {k: _stack_trees([t[k] for t in trees]) for k in first}
+    return np.stack(trees)
+
+
+def _general_conv(sd, key) -> Dict:
+    """general_conv3d_prenorm -> GeneralConv3d {conv: {kernel, bias}}
+    (InstanceNorm has no parameters)."""
+    return {"conv": _conv(sd, f"{key}.conv")}
+
+
+def _fusion_prenorm(sd, key) -> Dict:
+    return {
+        f"l{i}": _general_conv(sd, f"{key}.fusion_layer.{i}") for i in range(3)
+    }
+
+
+def _decoder(sd) -> Dict:
+    d = "decoder_fuse"
+    out: Dict = {
+        "RFM5_reduce": _conv(sd, f"{d}.RFM5_reduce"),
+        "final_conv": _conv(sd, f"{d}.final_conv"),
+    }
+    for i in range(1, 6):
+        out[f"RFM{i}"] = _fusion_prenorm(sd, f"{d}.RFM{i}")
+    for name in (
+        "d4_c1", "d4_c2", "d4_out", "d3_c1", "d3_c2", "d3_out",
+        "d2_c1", "d2_c2", "d2_out", "d1_c1", "d1_c2", "d1_out",
+    ):
+        out[name] = _general_conv(sd, f"{d}.{name}")
+    return out
+
+
+def mmvit4_variables_from_state_dict(state_dict: Mapping) -> Dict:
+    """Reference MMVit4 ``state_dict`` -> MMVit4 ``variables`` pytree."""
+    sd = dict(state_dict)
+
+    enc_p, enc_s = [], []
+    stream_p = []
+    for m in _MODALITIES:
+        p, s = _encoder(sd, f"{m}_encoder")
+        enc_p.append(p)
+        enc_s.append(s)
+        stream_p.append(
+            {
+                "encode_conv": _dense(sd, f"{m}_encode_conv"),
+                "transformer": _transformer(sd, f"{m}_transformer"),
+                "qkv": _dense(sd, f"qkv_{m}"),
+            }
+        )
+
+    params: Dict = {
+        "encoders": _stack_trees(enc_p),
+        "modality_stream": _stack_trees(stream_p),
+        "modality_pos": np.stack([_np(sd[f"{m}_pos"]) for m in _MODALITIES]),
+        "fused6_pos": _np(sd["fused6_pos"]),
+        "fused6_encode_conv": _dense(sd, "fused6_encode_conv"),
+        "multimodal_transformer": _transformer(sd, "multimodal_transformer"),
+        "multimodal_decode_conv": _dense(sd, "multimodal_decode_conv"),
+        "decoder": _decoder(sd),
+    }
+    for i in range(1, 7):
+        params[f"fusion{i}"] = {"conv": _conv(sd, f"fusion{i}.conv")}
+
+    batch_stats = {"encoders": _stack_trees(enc_s)}
+    return {"params": params, "batch_stats": batch_stats}
