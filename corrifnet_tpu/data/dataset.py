@@ -20,7 +20,13 @@ from typing import Iterator
 
 import numpy as np
 
-__all__ = ["Batch", "batch_iterator", "num_batches", "device_prefetch"]
+__all__ = [
+    "Batch",
+    "batch_iterator",
+    "make_batches",
+    "num_batches",
+    "device_prefetch",
+]
 
 
 @dataclasses.dataclass
@@ -54,6 +60,39 @@ def batch_iterator(
             ma = np.concatenate([ma, np.zeros((pad, *ma.shape[1:]), ma.dtype)])
             valid[b:] = 0.0
         yield Batch(im, ma, valid)
+
+
+def make_batches(
+    images: np.ndarray,
+    masks: np.ndarray,
+    indices: np.ndarray,
+    batch_size: int,
+    use_native: bool = None,
+) -> Iterator[Batch]:
+    """Preferred batch source for the training/eval loops.
+
+    Uses the C++ threaded double-buffered batcher
+    (native/corrifnet_native.cc) when the shared library is available so
+    host-side gather+pad overlaps device compute; falls back to the pure
+    Python :func:`batch_iterator` (identical output, golden-tested in
+    tests/test_native.py). ``use_native``: None = auto,
+    False = force Python, True = require native (raises if unavailable).
+    Env override: CORRIFNET_NATIVE_BATCHER=0 disables.
+    """
+    import os
+
+    if use_native is None:
+        if os.environ.get("CORRIFNET_NATIVE_BATCHER", "1") != "1":
+            use_native = False
+    if use_native is not False:
+        try:
+            from corrifnet_tpu.data.native import NativeBatcher
+
+            return iter(NativeBatcher(images, masks, indices, batch_size))
+        except Exception:
+            if use_native:
+                raise
+    return batch_iterator(images, masks, indices, batch_size)
 
 
 def device_prefetch(batches: Iterator[Batch], size: int = 2, sharding=None):

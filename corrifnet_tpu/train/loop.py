@@ -25,7 +25,7 @@ from typing import Optional
 import jax
 import numpy as np
 
-from corrifnet_tpu.data.dataset import batch_iterator, device_prefetch
+from corrifnet_tpu.data.dataset import device_prefetch, make_batches
 from corrifnet_tpu.train.checkpoint import (
     Checkpointer,
     epoch_ckpt_name,
@@ -51,7 +51,7 @@ def _run_eval(eval_step, params, batch_stats, images, masks, indices, batch_size
         )
     losses, jI, total = [], 0.0, 0.0
     first_outputs = None
-    for batch in batch_iterator(images, masks, indices, batch_size):
+    for batch in make_batches(images, masks, indices, batch_size):
         m = eval_step(params, batch_stats, batch.images, batch.masks, batch.valid)
         losses.append(float(m["loss"]))
         n_valid = float(m["n_valid"])
@@ -150,7 +150,7 @@ def train_model(
 
         batch_losses, jI, total = [], 0.0, 0.0
         for batch in device_prefetch(
-            batch_iterator(images, masks, trind, batch_size), sharding=batch_sh
+            make_batches(images, masks, trind, batch_size), sharding=batch_sh
         ):
             rng, sub = jax.random.split(rng)
             state, m = train_step(

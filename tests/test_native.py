@@ -54,3 +54,25 @@ def test_native_batcher_matches_python():
         np.testing.assert_array_equal(g.images, w.images)
         np.testing.assert_array_equal(g.masks, w.masks)
         np.testing.assert_array_equal(g.valid, w.valid)
+
+
+def test_make_batches_uses_native_in_train_path():
+    """make_batches (the train/eval loop batch source, train/loop.py) routes
+    through the C++ batcher when the library is built, and its output is
+    bit-identical to the Python fallback."""
+    from corrifnet_tpu.data.dataset import make_batches
+    from corrifnet_tpu.data.native import NativeBatcher as NB, native_available
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native library not built")
+    d = synthetic_dstl(7, lim=16, seed=1)
+    idx = np.arange(7)  # ragged final batch (7 % 4 != 0)
+    native = list(make_batches(d.images, d.masks, idx, 4, use_native=True))
+    python = list(make_batches(d.images, d.masks, idx, 4, use_native=False))
+    assert len(native) == len(python) == 2
+    for g, w in zip(native, python):
+        np.testing.assert_array_equal(g.images, w.images)
+        np.testing.assert_array_equal(g.masks, w.masks)
+        np.testing.assert_array_equal(g.valid, w.valid)
