@@ -524,6 +524,52 @@ class SwinBackbone(fnn.Module):
         return tuple(outs)
 
 
+class CNNBlock(fnn.Module):
+    """CNN_Block (MultiSenseSeg.py:845-867): 3x3 conv-BN-ReLU, 3x3 conv-BN,
+    projection shortcut when shape changes, ReLU after the residual add."""
+
+    planes: int
+    stride: int = 1
+    dtype: Dtype = None
+
+    @fnn.compact
+    def __call__(self, x, train: bool = True):  # NCHW
+        cin = x.shape[1]
+        y = _ConvBNAct(self.planes, 3, self.stride, 1, use_bias=False,
+                       dtype=self.dtype, name="c1")(x, train)
+        y = _ConvBNAct(self.planes, 3, 1, 1, use_bias=False, act="none",
+                       dtype=self.dtype, name="c2")(y, train)
+        short = x
+        if self.stride != 1 or cin != self.planes:
+            short = _ConvBNAct(self.planes, 1, self.stride, 0, use_bias=False,
+                               act="none", dtype=self.dtype, name="short")(x, train)
+        return _nchw(jax.nn.relu(_nhwc(y + short)))
+
+
+class CNNBackbone(fnn.Module):
+    """CNN_backbone (MultiSenseSeg.py:870-892): the ``use_faster`` 4-stage
+    residual backbone — blocks (3,4,6,3), widths c/2c/4c/8c, strides
+    1/2/2/2 (stage 1 keeps full resolution, unlike the Swin patch embed)."""
+
+    chans: int = 64
+    dtype: Dtype = None
+
+    @fnn.compact
+    def __call__(self, x_nchw, train: bool = True):
+        outs = []
+        y = x_nchw
+        for li, (blocks, mult, stride) in enumerate(
+            ((3, 1, 1), (4, 2, 2), (6, 4, 2), (3, 8, 2))
+        ):
+            for bi in range(blocks):
+                y = CNNBlock(
+                    planes=self.chans * mult, stride=stride if bi == 0 else 1,
+                    dtype=self.dtype, name=f"layer{li + 1}_block{bi}",
+                )(y, train)
+            outs.append(y)
+        return tuple(outs)
+
+
 class PPM(fnn.Module):
     out_chans: int = 512
     pool_sizes: Tuple[int, ...] = (1, 2, 3, 6)
@@ -640,6 +686,8 @@ class MultiSenseSeg(fnn.Module):
     num_heads: Tuple[int, ...] = (3, 6, 12, 24)
     window_size: int = 8
     chan_ratio: int = 8
+    use_faster: bool = False  # CNN backbone instead of Swin (MultiSenseSeg.py:1231)
+    aux: bool = False  # auxiliary FCN head params (MultiSenseSeg.py:1251-1256)
     dtype: Dtype = None
 
     @fnn.compact
@@ -662,25 +710,45 @@ class MultiSenseSeg(fnn.Module):
             )
         cat = jnp.concatenate(fuse, axis=1)  # (B, 96, H, W)
 
+        # use_faster forces embed_dim=64 (MultiSenseSeg.py:1185)
+        ed = 64 if self.use_faster else self.embed_dim
         amm_out, short_cut = AMM(
             in_chans=self.head_out_chans * self.n_branch,
-            out_chans=self.embed_dim, n_branch=self.n_branch,
+            out_chans=ed, n_branch=self.n_branch,
             offset_scale=8, patch_size=4, n_heads=4, fuse_drop=0.1,
             qkv_bias=True, dtype=self.dtype, name="AMM",
         )(cat, train)
         de_x = _ConvBNAct(self.head_out_chans, 3, 1, 1, use_bias=False,
                           dtype=self.dtype, name="smooth")(short_cut, train)
 
-        feats = SwinBackbone(
-            embed_dim=self.embed_dim, group_dim=self.group_dim,
-            depths=self.depths, num_heads=self.num_heads,
-            window=self.window_size, dtype=self.dtype, name="backbone",
-        )(amm_out, train)
+        if self.use_faster:
+            feats = CNNBackbone(chans=ed, dtype=self.dtype, name="backbone")(
+                amm_out, train
+            )
+        else:
+            feats = SwinBackbone(
+                embed_dim=ed, group_dim=self.group_dim,
+                depths=self.depths, num_heads=self.num_heads,
+                window=self.window_size, dtype=self.dtype, name="backbone",
+            )(amm_out, train)
+
+        if self.aux:
+            # Auxiliary FCN head over the penultimate backbone level. The
+            # reference defines these params but its forward keeps the aux
+            # branch commented out (MultiSenseSeg.py:1292); here the map is
+            # computed and sown as an intermediate so the capability is
+            # usable without changing the return contract.
+            ax = _ConvBNAct(self.decoder_chans // 2, 3, 1, 1, use_bias=False,
+                            dtype=self.dtype, name="aux_conv")(feats[-2], train)
+            ax = Conv(self.n_classes, 1, dtype=self.dtype, name="aux_head")(
+                _nhwc(ax)
+            )
+            self.sow("intermediates", "aux_out", _nchw(ax))
 
         # neck: reversed features, PPM on the deepest (MultiSenseSeg.py:261-265)
         rev = list(feats)[::-1]
         rev[0] = PPM(self.decoder_chans, dtype=self.dtype, name="ppm")(rev[0], train)
-        neck = FPNNeck(self.embed_dim, len(self.depths), self.decoder_chans,
+        neck = FPNNeck(ed, len(self.depths), self.decoder_chans,
                        dtype=self.dtype, name="fpn")(rev, train)
 
         out = DecodeGate(self.decoder_chans, self.n_classes,

@@ -199,6 +199,10 @@ class MaskDecoder(fnn.Module):
 class RobustMseg(fnn.Module):
     n_base_filters: int = 16
     final_sigmoid: bool = True
+    # style_noise == the reference's ``valid=True`` path (RobustSeg.py:61-62):
+    # every per-modality style code is replaced by standard-normal noise
+    # before the reconstruction decoders (needs a 'style_noise' RNG stream).
+    style_noise: bool = False
     dtype: Dtype = None
 
     @fnn.compact
@@ -217,6 +221,10 @@ class RobustMseg(fnn.Module):
                             split_rngs={"params": True, "dropout": True})
         xmod = jnp.swapaxes(xm, 0, 1)  # (M, B, H, W, C)
         styles = VStyle(dtype=self.dtype, name="style_enc")(xmod, train)
+        if self.style_noise:
+            styles = jax.random.normal(
+                self.make_rng("style_noise"), styles.shape, jnp.float32
+            ).astype(styles.dtype)
         contents = VContent(dtype=self.dtype, name="content_enc")(xmod, train)
 
         # ZeroLayer: zero dropped modalities fwd+bwd (multiply by mask)

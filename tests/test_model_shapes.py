@@ -67,3 +67,51 @@ def test_model_shape_contract(modeltype):
 
 def test_every_available_model_covered():
     assert set(available_models()) == set(EXPECTED)
+
+
+def test_multisenseseg_use_faster_and_aux():
+    """use_faster CNN backbone (MultiSenseSeg.py:1231,845-892) + aux head
+    (MultiSenseSeg.py:1251-1256): same output contract, aux map sown."""
+    from corrifnet_tpu.models.multisenseseg import MultiSenseSeg
+
+    model = MultiSenseSeg(use_faster=True, aux=True)
+    x = jnp.zeros((B, 3, 3, LIM, LIM), jnp.float32)
+    variables = jax.eval_shape(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, x, False)
+    )
+    out, inter = jax.eval_shape(
+        lambda v: model.apply(v, x, False, mutable=["intermediates"]),
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+    )
+    assert tuple(out.shape) == (B, 3, 1, LIM, LIM)
+    (aux,) = inter["intermediates"]["aux_out"]
+    # penultimate CNN level: H/16, channels n_classes
+    assert tuple(aux.shape) == (B, 1, LIM // 16, LIM // 16)
+    # the Swin stages are gone: no backbone window-attention params
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    names = {jax.tree_util.keystr(p) for p, _ in flat}
+    assert not any("stage0_block0" in n for n in names)
+    assert any("layer4_block2" in n for n in names)
+
+
+def test_robustseg_style_noise_path():
+    """style_noise == the reference's valid=True branch (RobustSeg.py:61-62):
+    forward runs with noise-replaced style codes; output contract unchanged."""
+    from corrifnet_tpu.models.robustseg import RobustMseg
+
+    model = RobustMseg(style_noise=True)
+    x = jnp.zeros((B, 3, 3, LIM, LIM), jnp.float32)
+    out = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0), "style_noise": jax.random.PRNGKey(1)},
+            x,
+            False,
+        )
+    )
+    o = jax.eval_shape(
+        lambda v: model.apply(
+            v, x, False, rngs={"style_noise": jax.random.PRNGKey(2)}
+        ),
+        out,
+    )
+    assert tuple(o.shape) == (B, 3, 1, LIM, LIM)
