@@ -116,13 +116,23 @@ def train_model(
     val_from_checkpoint: bool = True,
     checkpoint_every_epoch: bool = True,
     mesh=None,
+    start_epoch: int = 0,
+    extended_checkpoints: bool = False,
 ):
     """F4_TRAIN.py:39-86 equivalent. Returns the final TrainState.
 
     With ``mesh`` (a ('data','model') jax.sharding.Mesh) the state is
     sharded by the tensor-parallel rules and batches ride the data axis —
     XLA inserts the gradient psums/all-gathers (SPMD; new capability vs the
-    single-GPU reference, SURVEY §5.8)."""
+    single-GPU reference, SURVEY §5.8).
+
+    True resume (capability the reference lacks — it only saves weights,
+    F4_TRAIN.py:84): with ``extended_checkpoints`` the full TrainState
+    (params + optimizer moments + step) is saved each epoch as
+    ``state{i}``; restore it with ``Checkpointer.restore_state`` and pass
+    ``start_epoch`` to continue bitwise-identically — the per-epoch RNG is
+    folded from the base key and the epoch index, so the dropout stream
+    does not depend on how many epochs ran in this process."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     batch_sh = None
     if mesh is not None:
@@ -134,7 +144,8 @@ def train_model(
     eval_step = make_eval_step(model)
 
     history = {"train_loss": [], "train_jac": [], "val_loss": [], "val_jac": []}
-    for epoch in range(n_epochs):
+    for epoch in range(start_epoch, n_epochs):
+        epoch_rng = jax.random.fold_in(rng, epoch)
         lr = step_lr(learn_rate, step_size, gamma, epoch)
         lr_rep = step_lr_reported(learn_rate, step_size, gamma, epoch)
         print("Epoch:", epoch, "LR:", [lr_rep])
@@ -152,7 +163,7 @@ def train_model(
         for batch in device_prefetch(
             make_batches(images, masks, trind, batch_size), sharding=batch_sh
         ):
-            rng, sub = jax.random.split(rng)
+            epoch_rng, sub = jax.random.split(epoch_rng)
             state, m = train_step(
                 state, batch.images, batch.masks, batch.valid, lr, sub
             )
@@ -176,6 +187,8 @@ def train_model(
 
         if checkpoint_every_epoch and ckpt is not None:
             ckpt.save(epoch_ckpt_name(i), state.params, state.batch_stats)
+            if extended_checkpoints:
+                ckpt.save_state(f"state{i}", state)
         val_loss, val_jac = validate(
             eval_step, state, images, masks, vlind, batch_size, lim, logs,
             ckpt if checkpoint_every_epoch else None, i, val_from_checkpoint,

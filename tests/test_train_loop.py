@@ -168,3 +168,48 @@ def test_extended_checkpoint_resume(setup, tmp_path):
     for a, b in zip(jax.tree.leaves(cont_a.params), jax.tree.leaves(cont_b.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     ckpt.close()
+
+
+def test_kill_and_resume_matches_uninterrupted(setup, tmp_path):
+    """Train 3 epochs straight vs train 2, 'kill', restore the extended
+    checkpoint, resume epoch 2 -> identical final params and metrics
+    (true resume — capability the reference lacks, F4_TRAIN.py:84)."""
+    data, model, optimizer, _, lim = setup
+    trind, vlind = np.arange(8), np.arange(8, 10)
+    base_rng = jax.random.PRNGKey(42)
+
+    def fresh_state():
+        return init_state(
+            model, jax.random.PRNGKey(0), jnp.asarray(data.images[:2]), optimizer
+        )
+
+    kw = dict(
+        learn_rate=1e-3, step_size=5, gamma=0.9, images=data.images,
+        masks=data.masks, trind=trind, vlind=vlind, batch_size=3, lim=lim,
+        logs=None, i=0, rng=base_rng, val_from_checkpoint=False,
+    )
+
+    ck_a = Checkpointer(tmp_path / "a")
+    state_a, hist_a = train_model(
+        model, fresh_state(), optimizer, n_epochs=3, ckpt=ck_a,
+        extended_checkpoints=True, **kw
+    )
+    ck_a.close()
+
+    ck_b = Checkpointer(tmp_path / "b")
+    state_b, _ = train_model(
+        model, fresh_state(), optimizer, n_epochs=2, ckpt=ck_b,
+        extended_checkpoints=True, **kw
+    )
+    del state_b  # "kill": only the on-disk extended checkpoint survives
+    resumed = ck_b.restore_state("state0", fresh_state())
+    state_b2, hist_b2 = train_model(
+        model, resumed, optimizer, n_epochs=3, ckpt=ck_b, start_epoch=2,
+        extended_checkpoints=True, **kw
+    )
+    ck_b.close()
+
+    np.testing.assert_allclose(hist_a["train_loss"][2], hist_b2["train_loss"][0], rtol=0)
+    np.testing.assert_allclose(hist_a["val_jac"][2], hist_b2["val_jac"][0], rtol=0)
+    for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
