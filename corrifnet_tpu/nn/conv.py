@@ -118,13 +118,15 @@ class Conv(fnn.Module):
             ks = (1, *ks[1:])
             pd = ((0, 0), *pd[1:])
         elif (
-            # Depth-3 decomposition: a (3,kh,kw) conv decomposes into three
-            # folded 2-D convs combined along depth — identical FLOPs, but
-            # it compiles and runs through the far better-optimized 2-D conv
-            # path (the encoder hot path for MMVit2/RFNet/mmformer and the
-            # MMVit4 stem/decoder). Unit depth stride uses shift-adds;
-            # stride-2 (the conv-encoder downsamplers) uses small one-hot
-            # depth-combination matrices (MXU matmuls, clean backward).
+            # Depth-3 decomposition: a (3,kh,kw) conv is exactly ONE 2-D
+            # conv over the three depth-tap slices folded into input
+            # channels (kernel taps stacked along cin) — identical FLOPs,
+            # but it runs through the far better-optimized 2-D conv path
+            # with a 3x larger contraction dim and a single output write
+            # (the encoder hot path for MMVit2/RFNet/mmformer and the
+            # MMVit4 stem/decoder). Stride-2 gathers the strided tap
+            # slices; grouped/large-depth cases fall back to per-tap convs
+            # + shift-adds.
             nsp == 3
             and ks[0] == 3
             and dl[0] == 1
@@ -137,7 +139,10 @@ class Conv(fnn.Module):
         ):
             if st[0] == 1:
                 return self._depth3_decomposed(x, kernel, bias, st, pd, dl, cdtype)
-            return self._depth3_strided(x, kernel, bias, st, pd, dl, cdtype)
+            if self.groups == 1:
+                return self._depth3_strided(x, kernel, bias, st, pd, dl, cdtype)
+            # grouped stride-2 depth convs: fall through to the generic
+            # 3-D conv path (correct for any feature_group_count)
         if self.pad_mode != "zeros" and any(lo or hi for lo, hi in pd):
             cfg = [(0, 0)] + list(pd) + [(0, 0)]
             mode = {"replicate": "edge", "reflect": "reflect"}[self.pad_mode]
@@ -186,7 +191,62 @@ class Conv(fnn.Module):
 
     def _depth3_decomposed(self, x, kernel, bias, st, pd, dl, cdtype):
         """y[:, d] = sum_t conv2d(x[:, d+t-1], W[t]) with boundary handling
-        from the depth padding mode. Exact (torch-parity tested)."""
+        from the depth padding mode. Exact (torch-parity tested).
+
+        Realized by folding the 3 depth taps into input channels: one 2-D
+        conv over concat([x_{d-1}, x_d, x_{d+1}], channel) with the kernel
+        taps stacked along the input-channel axis. Identical math to three
+        per-tap convs + shift-adds, but 3x fewer output writes and a 3x
+        larger MXU contraction dim — decisive for the cin=1 encoder stem.
+        Falls back to the per-tap shift-add form when the concat buffer
+        would be large (full-depth decoder volumes, depth up to 128)."""
+        b, d_, h_, w_, cin = x.shape
+        out_d = d_ if pd[0] == (1, 1) else d_ - 1
+        # channel folding interleaves tap blocks across the input-channel
+        # axis, which is incompatible with grouped convs; large depth counts
+        # (full-depth decoder) would triple a multi-GB concat buffer.
+        if out_d > 16 or self.groups != 1:
+            return self._depth3_shift_add(x, kernel, bias, st, pd, dl, cdtype)
+
+        # depth-pad so tap t of output j reads padded index j + t
+        if self.pad_mode == "replicate":
+            top, bottom = x[:, :1], x[:, -1:]
+        else:
+            top = jnp.zeros_like(x[:, :1])
+            bottom = None if pd[0] == (1, 0) else jnp.zeros_like(x[:, :1])
+        parts = [top, x] + ([bottom] if pd[0] == (1, 1) else [])
+        xp = jnp.concatenate(parts, axis=1)  # (b, out_d + 2, H, W, cin)
+
+        if self.pad_mode == "replicate" and (pd[1] != (0, 0) or pd[2] != (0, 0)):
+            xp = jnp.pad(xp, [(0, 0), (0, 0), pd[1], pd[2], (0, 0)], mode="edge")
+            pad2d = [(0, 0), (0, 0)]
+        else:
+            pad2d = [pd[1], pd[2]]
+
+        xcat = jnp.concatenate(
+            [xp[:, t : t + out_d] for t in range(3)], axis=-1
+        )  # (b, out_d, H', W', 3*cin)
+        # kernel (3, kh, kw, cin, O) -> (kh, kw, 3*cin, O), tap-major blocks
+        kcat = jnp.transpose(kernel, (1, 2, 0, 3, 4)).reshape(
+            kernel.shape[1], kernel.shape[2], 3 * cin, kernel.shape[4]
+        )
+        y = jax.lax.conv_general_dilated(
+            xcat.reshape(b * out_d, *xcat.shape[2:]),
+            kcat,
+            window_strides=st[1:],
+            padding=pad2d,
+            rhs_dilation=dl[1:],
+            dimension_numbers=_dim_numbers(4),
+            feature_group_count=self.groups,
+        )
+        y = y.reshape(b, out_d, *y.shape[1:])
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y.astype(cdtype)
+
+    def _depth3_shift_add(self, x, kernel, bias, st, pd, dl, cdtype):
+        """Per-tap conv + shift-add fallback for large depth counts (the
+        channel-folded form would triple a multi-GB concat buffer)."""
         b, d_, h_, w_, cin = x.shape
         xf = x.reshape(b * d_, h_, w_, cin)
         if self.pad_mode == "replicate" and (pd[1] != (0, 0) or pd[2] != (0, 0)):
@@ -228,46 +288,45 @@ class Conv(fnn.Module):
         return y.astype(cdtype)
 
     def _depth3_strided(self, x, kernel, bias, st, pd, dl, cdtype):
-        """Depth-stride-2 variant: y[:, j] = sum_t z_t[2j + t - 1] with
-        boundary clamping, realized as (out_d, D) one-hot matmuls."""
+        """Depth-stride-2 variant: y[:, j] = sum_t conv2d(x[:, 2j + t - 1])
+        with boundary clamping (replicate) / zeroing (zeros), realized by
+        gathering the three tap slices per output depth into input channels
+        and running ONE 2-D conv (same folding as _depth3_decomposed)."""
         import numpy as np
 
         b, d_, h_, w_, cin = x.shape
         out_d = (d_ - 1) // 2 + 1
-        xf = x.reshape(b * d_, h_, w_, cin)
         if self.pad_mode == "replicate" and (pd[1] != (0, 0) or pd[2] != (0, 0)):
-            xf = jnp.pad(xf, [(0, 0), pd[1], pd[2], (0, 0)], mode="edge")
+            x = jnp.pad(x, [(0, 0), (0, 0), pd[1], pd[2], (0, 0)], mode="edge")
             pad2d = [(0, 0), (0, 0)]
         else:
             pad2d = [pd[1], pd[2]]
-        dn2 = _dim_numbers(4)
-        y = None
+
+        taps = []
         for t in range(3):
-            zt = jax.lax.conv_general_dilated(
-                xf, kernel[t], window_strides=st[1:], padding=pad2d,
-                rhs_dilation=dl[1:], dimension_numbers=dn2,
-                feature_group_count=self.groups,
-            ).reshape(b, d_, -1)
-            g = np.zeros((out_d, d_), dtype=np.float32)
-            for j in range(out_d):
-                src = 2 * j + t - 1
-                if 0 <= src < d_:
-                    g[j, src] = 1.0
-                elif self.pad_mode == "replicate":
-                    g[j, min(max(src, 0), d_ - 1)] = 1.0
-                # zeros mode: out-of-range taps contribute nothing
-            term = jnp.einsum("od,bdf->bof", jnp.asarray(g), zt.astype(jnp.float32))
-            y = term if y is None else y + term
-        # recover spatial dims from one conv output
-        zshape = jax.eval_shape(
-            lambda a: jax.lax.conv_general_dilated(
-                a, kernel[0], window_strides=st[1:], padding=pad2d,
-                rhs_dilation=dl[1:], dimension_numbers=dn2,
-                feature_group_count=self.groups,
-            ),
-            jax.ShapeDtypeStruct(xf.shape, cdtype),
-        ).shape
-        y = y.reshape(b, out_d, zshape[1], zshape[2], zshape[3]).astype(cdtype)
+            src = 2 * np.arange(out_d) + t - 1
+            xt = x[:, np.clip(src, 0, d_ - 1)]
+            if self.pad_mode != "replicate":
+                valid = (src >= 0) & (src < d_)
+                if not valid.all():
+                    xt = xt * jnp.asarray(
+                        valid, dtype=xt.dtype
+                    ).reshape(1, out_d, 1, 1, 1)
+            taps.append(xt)
+        xcat = jnp.concatenate(taps, axis=-1)  # (b, out_d, H', W', 3*cin)
+        kcat = jnp.transpose(kernel, (1, 2, 0, 3, 4)).reshape(
+            kernel.shape[1], kernel.shape[2], 3 * cin, kernel.shape[4]
+        )
+        y = jax.lax.conv_general_dilated(
+            xcat.reshape(b * out_d, *xcat.shape[2:]),
+            kcat,
+            window_strides=st[1:],
+            padding=pad2d,
+            rhs_dilation=dl[1:],
+            dimension_numbers=_dim_numbers(4),
+            feature_group_count=self.groups,
+        )
+        y = y.reshape(b, out_d, *y.shape[1:]).astype(cdtype)
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y

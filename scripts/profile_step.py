@@ -70,18 +70,27 @@ def main():
     with gzip.open(sorted(files)[-1], "rt") as f:
         trace = json.load(f)
 
-    # pid of the "XLA Ops" track(s)
-    op_pids = set()
+    # "XLA Ops" may be a process track (older format) or a thread under the
+    # TPU device process (current axon attach) — accept either.
+    op_pids, op_tids = set(), set()
     for ev in trace["traceEvents"]:
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
-            if "XLA Ops" in ev.get("args", {}).get("name", ""):
-                op_pids.add(ev["pid"])
+        if ev.get("ph") != "M":
+            continue
+        track = ev.get("args", {}).get("name", "")
+        if "XLA Ops" not in track:
+            continue
+        if ev.get("name") == "process_name":
+            op_pids.add(ev["pid"])
+        elif ev.get("name") == "thread_name":
+            op_tids.add((ev["pid"], ev["tid"]))
 
     by_name = collections.Counter()
     by_kind = collections.Counter()
     total = 0.0
     for ev in trace["traceEvents"]:
-        if ev.get("ph") == "X" and ev.get("pid") in op_pids:
+        if ev.get("ph") == "X" and (
+            ev.get("pid") in op_pids or (ev.get("pid"), ev.get("tid")) in op_tids
+        ):
             dur = ev.get("dur", 0) / 1e3  # ms
             name = ev.get("name", "?")
             by_name[name] += dur
