@@ -95,6 +95,7 @@ class _IntraStream(fnn.Module):
     """Per-modality tokenizer + IntraFormer (vmapped x3). Unlike MMVit4,
     downstream consumers use the transformer OUTPUT, not the skip."""
 
+    use_pallas_attn: bool = False
     dtype: Dtype = None
 
     @fnn.compact
@@ -105,7 +106,8 @@ class _IntraStream(fnn.Module):
         )(x6_tokens)
         intra = Transformer(
             TDIM, depth=1, heads=8, mlp_dim=512, dropout_rate=0.1,
-            dtype=self.dtype, name="transformer",
+            use_pallas_attn=self.use_pallas_attn, dtype=self.dtype,
+            name="transformer",
         )(tok, pos, deterministic=not train)
         qkv = Dense(
             TDIM * 3, kernel_init=tinit.kaiming_normal, dtype=self.dtype,
@@ -157,9 +159,10 @@ class MMVit2(fnn.Module):
             split_rngs={"params": True, "dropout": True},
         )
         x6_tokens = e6.reshape(3, b, NUM_TOKENS, BD * 8)
-        intra, q, k, v = VStream(dtype=self.dtype, name="modality_stream")(
-            x6_tokens, pos.astype(cdtype), train
-        )
+        intra, q, k, v = VStream(
+            use_pallas_attn=self.use_pallas, dtype=self.dtype,
+            name="modality_stream",
+        )(x6_tokens, pos.astype(cdtype), train)
 
         if self.use_correlation:
             # correlation output REPLACES the intra tokens (mmmvit2.py:457-461)
@@ -172,7 +175,8 @@ class MMVit2(fnn.Module):
         mm_pos = jnp.concatenate([pos[0], pos[1], pos[2]], axis=1).astype(cdtype)
         mm_out = Transformer(
             TDIM, depth=1, heads=8, mlp_dim=512, dropout_rate=0.1,
-            dtype=self.dtype, name="multimodal_transformer",
+            use_pallas_attn=self.use_pallas, dtype=self.dtype,
+            name="multimodal_transformer",
         )(mm_tokens, mm_pos, deterministic=not train)
 
         # (B, 1536, 512) -> (B,8,8,8,1536) row-major view (mmmvit2.py:470)

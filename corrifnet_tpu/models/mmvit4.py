@@ -53,6 +53,7 @@ NUM_TOKENS = PATCH ** 3
 class _ModalityStream(fnn.Module):
     """Per-modality tokenizer + IntraFormer + qkv projection (vmapped x3)."""
 
+    use_pallas_attn: bool = False
     dtype: Dtype = None
 
     @fnn.compact
@@ -65,7 +66,8 @@ class _ModalityStream(fnn.Module):
         )(x6.reshape(b, NUM_TOKENS, -1))
         trans = Transformer(
             TRANSFORMER_DIM, depth=1, heads=8, mlp_dim=512, dropout_rate=0.1,
-            dtype=self.dtype, name="transformer",
+            use_pallas_attn=self.use_pallas_attn, dtype=self.dtype,
+            name="transformer",
         )(skip, pos, deterministic=not train)
         qkv = Dense(
             TRANSFORMER_DIM * 3, kernel_init=tinit.kaiming_normal,
@@ -129,9 +131,10 @@ class MMVit4(fnn.Module):
             split_rngs={"params": True, "dropout": True},
         )
         x6_tokens = e6.reshape(3, b, NUM_TOKENS, BASIC_DIMS * 8)
-        skip, q, k, v = VStream(dtype=self.dtype, name="modality_stream")(
-            x6_tokens, pos.astype(cdtype), train
-        )
+        skip, q, k, v = VStream(
+            use_pallas_attn=self.use_pallas, dtype=self.dtype,
+            name="modality_stream",
+        )(x6_tokens, pos.astype(cdtype), train)
 
         # InterFormer correlation fusion (mmvit4.py:481-491) — Pallas on TPU.
         corr = correlation_fusion(q, k, v, use_pallas=self.use_pallas)
@@ -153,7 +156,8 @@ class MMVit4(fnn.Module):
         ).astype(cdtype)
         mm_out = Transformer(
             TRANSFORMER_DIM, depth=1, heads=8, mlp_dim=512, dropout_rate=0.1,
-            dtype=self.dtype, name="multimodal_transformer",
+            use_pallas_attn=self.use_pallas, dtype=self.dtype,
+            name="multimodal_transformer",
         )(mm_tokens, mm_pos, deterministic=not train)
 
         # Reinterpreting reshape (B,2048,512)->(B,8,8,8,2048) — row-major

@@ -37,7 +37,7 @@ class SelfAttention(fnn.Module):
     heads: int = 8
     qkv_bias: bool = False
     dropout_rate: float = 0.0
-    use_pallas_attn: bool = False  # fused kernel (no attn dropout path)
+    use_pallas_attn: bool = False  # fused kernel incl. in-kernel attn dropout
     dtype: Dtype = None
 
     @fnn.compact
@@ -51,10 +51,12 @@ class SelfAttention(fnn.Module):
         qkv = qkv.reshape(b, n, 3, h, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        if self.use_pallas_attn and (deterministic or self.dropout_rate == 0.0):
+        if self.use_pallas_attn:
             from corrifnet_tpu.ops import fused_attention
 
-            out = fused_attention(q, k, v, scale)
+            rate = 0.0 if deterministic else self.dropout_rate
+            rng = self.make_rng("dropout") if rate > 0.0 else None
+            out = fused_attention(q, k, v, scale, dropout_rate=rate, rng=rng)
         else:
             attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
             attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
@@ -95,6 +97,7 @@ class Transformer(fnn.Module):
     heads: int = 8
     mlp_dim: int = 512
     dropout_rate: float = 0.1
+    use_pallas_attn: bool = False
     dtype: Dtype = None
 
     @fnn.compact
@@ -106,6 +109,7 @@ class Transformer(fnn.Module):
                 self.embedding_dim,
                 heads=self.heads,
                 dropout_rate=self.dropout_rate,
+                use_pallas_attn=self.use_pallas_attn,
                 dtype=self.dtype,
                 name=f"attn_{j}",
             )(attn_in, deterministic=deterministic)

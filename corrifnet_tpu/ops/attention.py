@@ -1,18 +1,45 @@
-"""Fused multi-head self-attention Pallas kernel for the token transformers.
+"""Fused multi-head self-attention Pallas kernels for the token transformers.
 
-CorrIFNet's attention shapes are tiny and fixed — 512 tokens (IntraFormer,
+CorrIFNet's attention shapes are fixed — 512 tokens (IntraFormer,
 mmvit4.py:408-411) or 2048 tokens (multimodal transformer, :515-521) at
-head_dim 64 — so an entire (N, N) score tile fits in VMEM and the whole
-softmax(QK^T)V chain runs as ONE kernel per (batch, head): no HBM round
-trips for the N^2 attention matrix. Numerics match the XLA path (softmax in
-f32 with max-subtraction).
+head_dim 64. At batch 16 the multimodal attention matrix is
+bf16[16,8,2048,2048] ≈ 1.07 GB; the XLA composition writes it to HBM in the
+forward AND re-materializes it twice in the backward — the single largest
+HBM-traffic item in the profiled train step. These kernels never let the
+(N, N) matrix leave VMEM:
 
-Backward uses recompute-through-XLA (custom VJP): the forward saves only
-q/k/v and the backward re-derives gradients with the XLA composition — the
-same memory win flash-attention's bwd gets, without a hand-written bwd
-kernel for these tiny shapes.
+  * forward: grid (B*H,); per grid step Q/K/V for one (batch, head) are
+    VMEM-resident and a fori_loop walks query blocks — full-row softmax in
+    f32 (exact, no running-max bookkeeping needed), emitting the output
+    and the per-row logsumexp;
+  * backward: two kernels with the same grid — dq, and dk/dv with f32
+    accumulators carried through the query-block fori_loop — that
+    recompute probability tiles from (q, k, lse);
+  * attention-probability dropout (the reference trains with
+    Dropout(0.1) on the softmax output, mmvit4.py:307-312) runs INSIDE the
+    kernels via the TPU PRNG, so forward and both backward kernels
+    regenerate bit-identical masks without ever materializing an (N, N)
+    mask in HBM. The mask distribution matches flax Dropout (keep-prob
+    1-p, 1/(1-p) scaling); the bitstream is the TPU PRNG's, not threefry —
+    dropout masks carry no parity requirement.
 
-Opt-in via ``corrifnet_tpu.nn.Transformer(use_pallas_attn=True)``.
+vmap-safety (load-bearing): the modality IntraFormers run under ``nn.vmap``
+(models/mmvit4.py `_ModalityStream`), and Pallas batches a vmapped
+pallas_call by PREPENDING a grid dimension — which silently renumbers
+``pl.program_id``. These kernels therefore use NO ``pl.program_id`` at
+all: the (batch*head) coordinate enters only through BlockSpec row
+selection (including the per-row dropout seed, carried as a (BH, 1, 2)
+SMEM operand mixed on the host), and query/key block indices come from the
+in-kernel loop, not the grid. The same kernels are correct unbatched and
+under any vmap nesting.
+
+Numerics: scores/softmax in f32 (the XLA path rounds scores to bf16 before
+softmax, so the kernel is slightly *more* accurate); probability tiles are
+cast to the value dtype for the PV matmul exactly like the XLA path.
+
+Opt-in via ``corrifnet_tpu.nn.Transformer(use_pallas_attn=True)``; falls
+back to the XLA composition (with an explicit bernoulli dropout mask) on
+CPU/GPU so tests run everywhere.
 """
 
 from __future__ import annotations
@@ -21,6 +48,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -30,69 +58,285 @@ __all__ = ["fused_attention", "attention_xla"]
 INTERPRET = False
 
 
-def attention_xla(q, k, v, scale):
-    """Reference path: (B, H, N, D) heads-major attention."""
+def _interpret():
+    # The TPU-aware interpreter (supports pltpu.prng_*); False on hardware.
+    return pltpu.InterpretParams() if INTERPRET else False
+
+_Q_BLK = 256  # uniform across fwd/dq/dkv: the dropout mask tile is (q_blk, k_blk)
+_Q_BLK_LARGE = 128  # n > 1024: (q_blk, N) f32 temporaries must fit scoped VMEM
+_K_BLK = 512  # mask-tile width (the score rows themselves span all of N)
+
+# Host-side per-(batch*head) seed stride; in-kernel (qi, kj) mix stays far
+# below it (max 7*7919+3), so no (row, tile) collisions within one call.
+_ROW_MIX = np.uint32(1000003)
+
+
+def _blk(n, target):
+    """Block length: ``target`` when it divides n, whole-row for short n,
+    else None (caller falls back to XLA). Must be a pure function of (n,
+    target) — forward and both backward kernels derive the dropout-mask
+    tile shape from it."""
+    if n % target == 0:
+        return target
+    if n <= target:
+        return n
+    return None
+
+
+def _q_blk(n):
+    """Query-block length — pure function of n (mask-tile contract)."""
+    return _blk(n, _Q_BLK_LARGE if n > 1024 else _Q_BLK)
+
+
+def attention_xla(q, k, v, scale, dropout_rate=0.0, rng=None):
+    """Reference path: (B, H, N, D) heads-major attention, optional
+    probability dropout (flax semantics: keep-prob 1-p, 1/(1-p) scale)."""
     s = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
     p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+    if dropout_rate > 0.0 and rng is not None:
+        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, p.shape)
+        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0).astype(p.dtype)
     return jnp.einsum("bhnm,bhmd->bhnd", p, v)
 
 
-def _attn_kernel(scale, q_ref, k_ref, v_ref, o_ref):
-    q = q_ref[0].astype(jnp.float32)  # (N, D)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    s = s - s.max(axis=-1, keepdims=True)
-    e = jnp.exp(s)
-    p = e / e.sum(axis=-1, keepdims=True)
-    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
-    o_ref[0] = o.astype(o_ref.dtype)
+def _keep_row(rate, seed_ref, qi, q_blk, n):
+    """Bernoulli(1-rate) keep mask for query block ``qi`` vs ALL keys,
+    assembled from (q_blk, k_blk) tiles. ``qi`` may be a traced loop index;
+    the key-block index is a static int; the row coordinate lives in the
+    seed operand itself — identical bits in the forward and both backward
+    kernels, under vmap or not. Mosaic caps prng_seed at 2 words, so tile
+    coordinates mix into the second."""
+    k_blk = _blk(n, _K_BLK)
+    thresh = np.uint32(min(int(rate * 4294967296.0), 4294967295))
+    qmix = jnp.asarray(qi, jnp.uint32) * np.uint32(7919)
+    tiles = []
+    for kj in range(n // k_blk):
+        pltpu.prng_seed(
+            seed_ref[0, 0, 0], seed_ref[0, 0, 1] + qmix + np.uint32(kj)
+        )
+        bits = pltpu.bitcast(
+            pltpu.prng_random_bits((q_blk, k_blk)), jnp.uint32
+        )
+        tiles.append(bits >= thresh)
+    return tiles[0] if len(tiles) == 1 else jnp.concatenate(tiles, axis=1)
 
 
-def _fused_fwd(q, k, v, scale):
+# ---------------------------------------------------------------- forward
+
+
+def _fwd_kernel(scale, rate, q_blk, q_ref, k_ref, v_ref, seed_ref, o_ref,
+                lse_ref):
+    k, v = k_ref[0], v_ref[0]
+    n = k.shape[0]
+
+    def body(qi, carry):
+        rows = pl.ds(qi * q_blk, q_blk)
+        q = q_ref[0, rows, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (q_blk, N) f32
+        m = s.max(axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        r = e.sum(axis=-1, keepdims=True)
+        lse_ref[0, rows, :] = m + jnp.log(r)
+        p = (e / r).astype(v.dtype)
+        if rate > 0.0:
+            keep = _keep_row(rate, seed_ref, qi, q_blk, n)
+            p = jnp.where(keep, p / (1.0 - rate), 0.0).astype(v.dtype)
+        o_ref[0, rows, :] = jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+        return carry
+
+    # fori_loop (not an unrolled Python loop): Mosaic otherwise keeps every
+    # iteration's (q_blk, N) f32 temporaries live at once -> scoped-VMEM OOM.
+    jax.lax.fori_loop(0, n // q_blk, body, 0)
+
+
+def _specs(bh, n, d):
+    row = pl.BlockSpec((1, n, d), lambda b: (b, 0, 0),
+                       memory_space=pltpu.VMEM)
+    lse = pl.BlockSpec((1, n, 1), lambda b: (b, 0, 0),
+                       memory_space=pltpu.VMEM)
+    seed = pl.BlockSpec((1, 1, 2), lambda b: (b, 0, 0),
+                        memory_space=pltpu.SMEM)
+    return row, lse, seed
+
+
+def _fused_fwd(q, k, v, seed, scale, rate):
+    bh, n, d = q.shape
+    q_blk = _q_blk(n)
+    row, lse_spec, seed_spec = _specs(bh, n, d)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, float(scale), float(rate), q_blk),
+        grid=(bh,),
+        in_specs=[row, row, row, seed_spec],
+        out_specs=[row, lse_spec],
+        out_shape=[jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+                   jax.ShapeDtypeStruct((bh, n, 1), jnp.float32)],
+        interpret=_interpret(),
+    )(q, k, v, seed)
+    return out, lse
+
+
+# --------------------------------------------------------------- backward
+
+
+def _dq_kernel(scale, rate, q_blk, q_ref, k_ref, v_ref, do_ref, lse_ref,
+               delta_ref, seed_ref, dq_ref):
+    k, v = k_ref[0], v_ref[0]
+    n = k.shape[0]
+
+    def body(qi, carry):
+        rows = pl.ds(qi * q_blk, q_blk)
+        q, do = q_ref[0, rows, :], do_ref[0, rows, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        p = jnp.exp(s - lse_ref[0, rows, :])  # (q_blk, N) f32
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if rate > 0.0:
+            keep = _keep_row(rate, seed_ref, qi, q_blk, n)
+            dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
+        ds = p * (dp - delta_ref[0, rows, :]) * scale  # (q_blk, N) f32
+        dq_ref[0, rows, :] = jnp.dot(
+            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+        ).astype(dq_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, n // q_blk, body, 0)
+
+
+def _dkv_kernel(scale, rate, q_blk, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                delta_ref, seed_ref, dk_ref, dv_ref):
+    k, v = k_ref[0], v_ref[0]
+    n, d = k.shape
+
+    def body(qi, carry):
+        dk, dv = carry
+        rows = pl.ds(qi * q_blk, q_blk)
+        q, do = q_ref[0, rows, :], do_ref[0, rows, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (q_blk, N)
+        p = jnp.exp(s - lse_ref[0, rows, :])
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if rate > 0.0:
+            # regenerate exactly the forward's mask row for block qi
+            keep = _keep_row(rate, seed_ref, qi, q_blk, n)
+            p_drop = jnp.where(keep, p / (1.0 - rate), 0.0)
+            dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
+        else:
+            p_drop = p
+        ds = p * (dp - delta_ref[0, rows, :]) * scale
+        dv = dv + jax.lax.dot_general(
+            p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk = dk + jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dk, dv
+
+    dk, dv = jax.lax.fori_loop(
+        0, n // q_blk, body,
+        (jnp.zeros((n, d), jnp.float32), jnp.zeros((n, d), jnp.float32)),
+    )
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _fused_bwd_impl(q, k, v, o, lse, seed, g, scale, rate):
+    bh, n, d = q.shape
+    delta = (g.astype(jnp.float32) * o.astype(jnp.float32)).sum(
+        axis=-1, keepdims=True
+    )  # (bh, n, 1) — trailing singleton keeps TPU block tiling legal
+
+    q_blk = _q_blk(n)
+    row, lse_spec, seed_spec = _specs(bh, n, d)
+    in_specs = [row, row, row, row, lse_spec, lse_spec, seed_spec]
+    operands = (q, k, v, g, lse, delta, seed)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, float(scale), float(rate), q_blk),
+        grid=(bh,),
+        in_specs=in_specs,
+        out_specs=row,
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        interpret=_interpret(),
+    )(*operands)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, float(scale), float(rate), q_blk),
+        grid=(bh,),
+        in_specs=in_specs,
+        out_specs=[row, row],
+        out_shape=[jax.ShapeDtypeStruct((bh, n, d), k.dtype),
+                   jax.ShapeDtypeStruct((bh, n, d), v.dtype)],
+        interpret=_interpret(),
+    )(*operands)
+    return dq, dk, dv
+
+
+# -------------------------------------------------------------- public API
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused(q, k, v, seed, scale, rate):
+    out, _ = _fused_fwd(q, k, v, seed, scale, rate)
+    return out
+
+
+def _fused_vjp_fwd(q, k, v, seed, scale, rate):
+    out, lse = _fused_fwd(q, k, v, seed, scale, rate)
+    return out, (q, k, v, out, lse, seed)
+
+
+def _fused_vjp_bwd(scale, rate, res, g):
+    q, k, v, o, lse, seed = res
+    dq, dk, dv = _fused_bwd_impl(q, k, v, o, lse, seed, g, scale, rate)
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, dseed
+
+
+_fused.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+
+def fused_attention(q, k, v, scale, dropout_rate=0.0, rng=None):
+    """(B, H, N, D) fused attention with optional probability dropout.
+
+    ``rng`` (a PRNG key) is required when ``dropout_rate > 0``. Falls back
+    to the XLA composition off-TPU (different dropout bitstream, same
+    distribution).
+    """
     b, h, n, d = q.shape
-    flat = lambda t: t.reshape(b * h, n, d)
-    spec = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, float(scale)),
-        grid=(b * h,),
-        in_specs=[spec] * 3,
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
-        interpret=INTERPRET,
-    )(flat(q), flat(k), flat(v))
-    return out.reshape(b, h, n, d)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_attention(q, k, v, scale):
-    """(B, H, N, D) fused attention; falls back to XLA off-TPU."""
+    rate = float(dropout_rate) if rng is not None else 0.0
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    if not on_tpu and not INTERPRET:
-        return attention_xla(q, k, v, scale)
-    return _fused_fwd(q, k, v, scale)
-
-
-def _vjp_fwd(q, k, v, scale):
-    return fused_attention(q, k, v, scale), (q, k, v)
-
-
-def _vjp_bwd(scale, res, g):
-    q, k, v = res
-    # recompute probabilities; standard attention gradients
-    s = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
-    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
-    gf = g.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    dv = jnp.einsum("bhnm,bhnd->bhmd", p, gf)
-    dp = jnp.einsum("bhnd,bhmd->bhnm", gf, vf)
-    ds = p * (dp - (dp * p).sum(axis=-1, keepdims=True))
-    ds = ds * scale
-    dq = jnp.einsum("bhnm,bhmd->bhnd", ds, k.astype(jnp.float32))
-    dk = jnp.einsum("bhnm,bhnd->bhmd", ds, q.astype(jnp.float32))
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
-
-
-fused_attention.defvjp(_vjp_fwd, _vjp_bwd)
+    if (not on_tpu and not INTERPRET) or _q_blk(n) is None \
+            or _blk(n, _K_BLK) is None:
+        return attention_xla(q, k, v, scale, rate, rng)
+    bh = b * h
+    if rate > 0.0:
+        w = jax.random.bits(rng, (2,), jnp.uint32)
+    else:
+        w = jnp.zeros((2,), jnp.uint32)
+    # Per-(batch*head) seed rows: the row coordinate is mixed HERE, not via
+    # pl.program_id (see module docstring: vmap renumbers program ids).
+    seed = jnp.stack(
+        [jnp.broadcast_to(w[0], (bh,)),
+         w[1] + jnp.arange(bh, dtype=jnp.uint32) * _ROW_MIX],
+        axis=-1,
+    ).reshape(bh, 1, 2)
+    flat = lambda t: t.reshape(bh, n, d)
+    out = _fused(flat(q), flat(k), flat(v), seed, float(scale), rate)
+    return out.reshape(b, h, n, d)
