@@ -143,6 +143,21 @@ class Conv(fnn.Module):
                 return self._depth3_strided(x, kernel, bias, st, pd, dl, cdtype)
             # grouped stride-2 depth convs: fall through to the generic
             # 3-D conv path (correct for any feature_group_count)
+        # Pointwise (all-ones kernel, unstrided, ungrouped) convs are plain
+        # channel matmuls; bypassing lax.conv avoids XLA's conv layout
+        # assignment, which was emitting standalone transpose copies around
+        # every bottleneck conv1/conv3 (profiled at batch 16).
+        if (
+            all(k == 1 for k in ks)
+            and all(s == 1 for s in st)
+            and all(p == (0, 0) for p in pd)
+            and self.groups == 1
+        ):
+            y = jnp.dot(x, kernel.reshape(in_ch, self.features))
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y.astype(cdtype)
+
         if self.pad_mode != "zeros" and any(lo or hi for lo, hi in pd):
             cfg = [(0, 0)] + list(pd) + [(0, 0)]
             mode = {"replicate": "edge", "reflect": "reflect"}[self.pad_mode]
