@@ -50,7 +50,10 @@ def bench_train_step(batch_size=8, iters=15, warmup=3, rt_floor=0.0):
     from corrifnet_tpu.models.mmvit4 import MMVit4
     from corrifnet_tpu.train import init_state, make_optimizer, make_train_step
 
-    model = MMVit4(dtype=jnp.bfloat16, use_pallas=True, depth_mode="pruned")
+    model = MMVit4(
+        dtype=jnp.bfloat16, use_pallas=True,
+        depth_mode=os.environ.get("BENCH_DEPTH", "pruned"),
+    )
     rng = np.random.default_rng(0)
     images = jnp.asarray(
         rng.normal(0, 1, (batch_size, 3, 3, 224, 224)).astype(np.float32)
