@@ -19,10 +19,17 @@ __all__ = ["make_mesh", "default_mesh_shape"]
 
 
 def default_mesh_shape(n_devices: Optional[int] = None) -> Tuple[int, int]:
-    """(data, model) factorization: model axis 2 when device count allows."""
+    """(data, model) factorization — pure data parallelism by default.
+
+    Measured (scripts/mesh_ablation.py, 8 virtual devices): the tensor-
+    parallel rules shard only the transformer matmuls, while convs —
+    ~90% of MMVit4 FLOPs (SURVEY §3.2) — replicate over 'model', so a
+    (4, 2) mesh costs 1.23x the per-device FLOPs (cost_analysis) and ~2x
+    the aggregate step time of (8, 1). The model axis stays available for
+    explicit ``mesh_shape`` configs (validated by the multichip dryrun),
+    but buys nothing at this model scale.
+    """
     n = n_devices or len(jax.devices())
-    if n % 2 == 0 and n >= 4:
-        return (n // 2, 2)
     return (n, 1)
 
 
