@@ -118,7 +118,15 @@ class _BottleneckTail(fnn.Module):
         if self.remat_mode == "all" or (
             self.remat_mode == "early" and self.width <= 128
         ):
-            body = fnn.remat(_TailBody)
+            # Save the (C,)-sized folded BN stats (nn/norm.py names them
+            # 'bn_stats'): a few KB per block, and the backward recompute
+            # skips every stat reduction pass over the activations.
+            body = fnn.remat(
+                _TailBody,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "bn_stats"
+                ),
+            )
         else:
             body = _TailBody
         unroll = self.scan_unroll if self.scan_unroll > 0 else self.n

@@ -29,6 +29,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 from flax import linen as fnn
+from jax.ad_checkpoint import checkpoint_name
 
 __all__ = ["BatchNorm", "InstanceNorm", "GroupNorm", "LayerNorm"]
 
@@ -64,9 +65,13 @@ class BatchNorm(fnn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
+            # Single pass over x: E[x] and E[x^2] in one fused read, var by
+            # the shift formula (clamped - f32 cancellation can dip below
+            # zero). Halves the HBM stat traffic vs the two-pass form.
             xf = x.astype(jnp.float32)
             mean = xf.mean(axis=reduce_axes)
-            var = ((xf - mean) ** 2).mean(axis=reduce_axes)
+            sq = (xf * xf).mean(axis=reduce_axes)
+            var = jnp.maximum(sq - mean * mean, 0.0)
             if not self.is_initializing():
                 n = 1
                 for ax in reduce_axes:
@@ -78,6 +83,11 @@ class BatchNorm(fnn.Module):
 
         a = scale * jax.lax.rsqrt(var + self.epsilon)
         b = bias - mean * a
+        # Named so the encoder remat policy can SAVE these (C,)-sized
+        # vectors: the backward then skips recomputing the stat reductions
+        # entirely (models/resnet3d.py remat policy).
+        a = checkpoint_name(a, "bn_stats")
+        b = checkpoint_name(b, "bn_stats")
         dt = self.dtype or x.dtype
         return x.astype(dt) * a.astype(dt) + b.astype(dt)
 
@@ -97,7 +107,8 @@ class InstanceNorm(fnn.Module):
         reduce_axes = tuple(range(1, x.ndim - 1))  # spatial only
         xf = x.astype(jnp.float32)
         mean = xf.mean(axis=reduce_axes, keepdims=True)
-        var = ((xf - mean) ** 2).mean(axis=reduce_axes, keepdims=True)
+        sq = (xf * xf).mean(axis=reduce_axes, keepdims=True)
+        var = jnp.maximum(sq - mean * mean, 0.0)
         a = jax.lax.rsqrt(var + self.epsilon)
         b = -mean * a
         dt = self.dtype or x.dtype
@@ -120,7 +131,8 @@ class GroupNorm(fnn.Module):
         orig_shape = x.shape
         xf = x.astype(jnp.float32).reshape(orig_shape[0], -1, g, features // g)
         mean = xf.mean(axis=(1, 3), keepdims=True)
-        var = ((xf - mean) ** 2).mean(axis=(1, 3), keepdims=True)
+        sq = (xf * xf).mean(axis=(1, 3), keepdims=True)
+        var = jnp.maximum(sq - mean * mean, 0.0)
         inv = jax.lax.rsqrt(var + self.epsilon)  # (B, 1, g, 1)
         # fold per-(sample, group) stats to per-(sample, channel) vectors
         invc = jnp.broadcast_to(
@@ -150,7 +162,8 @@ class LayerNorm(fnn.Module):
         bias = self.param("bias", fnn.initializers.zeros, (features,), jnp.float32)
         xf = x.astype(jnp.float32)
         mean = xf.mean(axis=-1, keepdims=True)
-        var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+        sq = (xf * xf).mean(axis=-1, keepdims=True)
+        var = jnp.maximum(sq - mean * mean, 0.0)
         inv = jax.lax.rsqrt(var + self.epsilon)
         dt = self.dtype or x.dtype
         a = (scale * inv).astype(dt)  # (..., 1) * (C,) -> (..., C)
