@@ -10,11 +10,13 @@ HBM-traffic item in the profiled train step. These kernels never let the
 
   * forward: grid (B*H,); per grid step Q/K/V for one (batch, head) are
     VMEM-resident and a fori_loop walks query blocks — full-row softmax in
-    f32 (exact, no running-max bookkeeping needed), emitting the output
-    and the per-row logsumexp;
+    f32 (exact, no running-max bookkeeping needed);
   * backward: two kernels with the same grid — dq, and dk/dv with f32
     accumulators carried through the query-block fori_loop — that
-    recompute probability tiles from (q, k, lse);
+    recompute the softmax rows bitwise-identically from (q, k) and the
+    delta rows from (do, o); no logsumexp/delta residuals are stored
+    (their (N, 1) f32 refs lane-pad to 128 wide in VMEM and blew the
+    scoped budget);
   * attention-probability dropout (the reference trains with
     Dropout(0.1) on the softmax output, mmvit4.py:307-312) runs INSIDE the
     kernels via the TPU PRNG, so forward and both backward kernels
@@ -63,12 +65,24 @@ def _interpret():
     return pltpu.InterpretParams() if INTERPRET else False
 
 _Q_BLK = 256  # uniform across fwd/dq/dkv: the dropout mask tile is (q_blk, k_blk)
-_Q_BLK_LARGE = 128  # n > 1024: (q_blk, N) f32 temporaries must fit scoped VMEM
+_Q_BLK_LARGE = 128  # n > 1024: (q_blk, N) f32 temporaries must fit scoped
+# VMEM next to the dkv kernel's f32 accumulator carry (16MB limit at
+# n=2048 bf16, measured via the compile service).
 _K_BLK = 512  # mask-tile width (the score rows themselves span all of N)
 
-# Host-side per-(batch*head) seed stride; in-kernel (qi, kj) mix stays far
-# below it (max 7*7919+3), so no (row, tile) collisions within one call.
+# Host-side per-(batch*head) seed stride; the in-kernel (qi, kj) mix
+# (max (n/q_blk - 1)*7919 + n/k_blk - 1) must stay below it so dropout
+# seeds never alias across rows — enforced in fused_attention (falls back
+# to XLA rather than silently correlating masks). At n=2048 the mix tops
+# out at 15*7919 + 3 = 118788.
 _ROW_MIX = np.uint32(1000003)
+
+
+def _mix_collision_free(n):
+    q_blk, k_blk = _q_blk(n), _blk(n, _K_BLK)
+    if q_blk is None or k_blk is None:
+        return False
+    return (n // q_blk - 1) * 7919 + (n // k_blk - 1) < int(_ROW_MIX)
 
 
 def _blk(n, target):
@@ -124,23 +138,28 @@ def _keep_row(rate, seed_ref, qi, q_blk, n):
 # ---------------------------------------------------------------- forward
 
 
-def _fwd_kernel(scale, rate, q_blk, q_ref, k_ref, v_ref, seed_ref, o_ref,
-                lse_ref):
+def _softmax_rows(q, k, scale):
+    """f32 score rows + their softmax for one query block. The backward
+    kernels recompute this EXPRESSION from the same inputs, so p is
+    bitwise-identical to the forward's — no logsumexp residual needed
+    (a (bh, n, 1) f32 operand lane-pads to 128 wide in VMEM, ~1MB per
+    ref at n=2048; storing/reloading it is what blew the scoped-VMEM
+    budget, not the score tiles)."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (q_blk, N) f32
+    m = s.max(axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def _fwd_kernel(scale, rate, q_blk, q_ref, k_ref, v_ref, seed_ref, o_ref):
     k, v = k_ref[0], v_ref[0]
     n = k.shape[0]
 
     def body(qi, carry):
         rows = pl.ds(qi * q_blk, q_blk)
-        q = q_ref[0, rows, :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # (q_blk, N) f32
-        m = s.max(axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        r = e.sum(axis=-1, keepdims=True)
-        lse_ref[0, rows, :] = m + jnp.log(r)
-        p = (e / r).astype(v.dtype)
+        p = _softmax_rows(q_ref[0, rows, :], k, scale).astype(v.dtype)
         if rate > 0.0:
             keep = _keep_row(rate, seed_ref, qi, q_blk, n)
             p = jnp.where(keep, p / (1.0 - rate), 0.0).astype(v.dtype)
@@ -157,53 +176,50 @@ def _fwd_kernel(scale, rate, q_blk, q_ref, k_ref, v_ref, seed_ref, o_ref,
 def _specs(bh, n, d):
     row = pl.BlockSpec((1, n, d), lambda b: (b, 0, 0),
                        memory_space=pltpu.VMEM)
-    lse = pl.BlockSpec((1, n, 1), lambda b: (b, 0, 0),
-                       memory_space=pltpu.VMEM)
     seed = pl.BlockSpec((1, 1, 2), lambda b: (b, 0, 0),
                         memory_space=pltpu.SMEM)
-    return row, lse, seed
+    return row, seed
 
 
 def _fused_fwd(q, k, v, seed, scale, rate):
     bh, n, d = q.shape
     q_blk = _q_blk(n)
-    row, lse_spec, seed_spec = _specs(bh, n, d)
-    out, lse = pl.pallas_call(
+    row, seed_spec = _specs(bh, n, d)
+    return pl.pallas_call(
         functools.partial(_fwd_kernel, float(scale), float(rate), q_blk),
         grid=(bh,),
         in_specs=[row, row, row, seed_spec],
-        out_specs=[row, lse_spec],
-        out_shape=[jax.ShapeDtypeStruct((bh, n, d), q.dtype),
-                   jax.ShapeDtypeStruct((bh, n, 1), jnp.float32)],
+        out_specs=row,
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
         interpret=_interpret(),
     )(q, k, v, seed)
-    return out, lse
 
 
 # --------------------------------------------------------------- backward
 
 
-def _dq_kernel(scale, rate, q_blk, q_ref, k_ref, v_ref, do_ref, lse_ref,
-               delta_ref, seed_ref, dq_ref):
+def _dq_kernel(scale, rate, q_blk, q_ref, k_ref, v_ref, do_ref, o_ref,
+               seed_ref, dq_ref):
     k, v = k_ref[0], v_ref[0]
     n = k.shape[0]
 
     def body(qi, carry):
         rows = pl.ds(qi * q_blk, q_blk)
         q, do = q_ref[0, rows, :], do_ref[0, rows, :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        p = jnp.exp(s - lse_ref[0, rows, :])  # (q_blk, N) f32
+        p = _softmax_rows(q, k, scale)  # (q_blk, N) f32
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        # delta_i = sum_d do_id o_id == sum_m (dropped dp)_im p_im
+        delta = (do.astype(jnp.float32)
+                 * o_ref[0, rows, :].astype(jnp.float32)).sum(
+            axis=-1, keepdims=True
+        )
         if rate > 0.0:
             keep = _keep_row(rate, seed_ref, qi, q_blk, n)
             dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
-        ds = p * (dp - delta_ref[0, rows, :]) * scale  # (q_blk, N) f32
+        ds = p * (dp - delta) * scale  # (q_blk, N) f32
         dq_ref[0, rows, :] = jnp.dot(
             ds.astype(k.dtype), k, preferred_element_type=jnp.float32
         ).astype(dq_ref.dtype)
@@ -212,8 +228,8 @@ def _dq_kernel(scale, rate, q_blk, q_ref, k_ref, v_ref, do_ref, lse_ref,
     jax.lax.fori_loop(0, n // q_blk, body, 0)
 
 
-def _dkv_kernel(scale, rate, q_blk, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                delta_ref, seed_ref, dk_ref, dv_ref):
+def _dkv_kernel(scale, rate, q_blk, q_ref, k_ref, v_ref, do_ref, o_ref,
+                seed_ref, dk_ref, dv_ref):
     k, v = k_ref[0], v_ref[0]
     n, d = k.shape
 
@@ -221,14 +237,14 @@ def _dkv_kernel(scale, rate, q_blk, q_ref, k_ref, v_ref, do_ref, lse_ref,
         dk, dv = carry
         rows = pl.ds(qi * q_blk, q_blk)
         q, do = q_ref[0, rows, :], do_ref[0, rows, :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # (q_blk, N)
-        p = jnp.exp(s - lse_ref[0, rows, :])
+        p = _softmax_rows(q, k, scale)  # (q_blk, N) f32
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+        )
+        delta = (do.astype(jnp.float32)
+                 * o_ref[0, rows, :].astype(jnp.float32)).sum(
+            axis=-1, keepdims=True
         )
         if rate > 0.0:
             # regenerate exactly the forward's mask row for block qi
@@ -237,7 +253,7 @@ def _dkv_kernel(scale, rate, q_blk, q_ref, k_ref, v_ref, do_ref, lse_ref,
             dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
         else:
             p_drop = p
-        ds = p * (dp - delta_ref[0, rows, :]) * scale
+        ds = p * (dp - delta) * scale
         dv = dv + jax.lax.dot_general(
             p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -256,16 +272,12 @@ def _dkv_kernel(scale, rate, q_blk, q_ref, k_ref, v_ref, do_ref, lse_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _fused_bwd_impl(q, k, v, o, lse, seed, g, scale, rate):
+def _fused_bwd_impl(q, k, v, o, seed, g, scale, rate):
     bh, n, d = q.shape
-    delta = (g.astype(jnp.float32) * o.astype(jnp.float32)).sum(
-        axis=-1, keepdims=True
-    )  # (bh, n, 1) — trailing singleton keeps TPU block tiling legal
-
     q_blk = _q_blk(n)
-    row, lse_spec, seed_spec = _specs(bh, n, d)
-    in_specs = [row, row, row, row, lse_spec, lse_spec, seed_spec]
-    operands = (q, k, v, g, lse, delta, seed)
+    row, seed_spec = _specs(bh, n, d)
+    in_specs = [row, row, row, row, row, seed_spec]
+    operands = (q, k, v, g, o, seed)
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, float(scale), float(rate), q_blk),
@@ -293,18 +305,17 @@ def _fused_bwd_impl(q, k, v, o, lse, seed, g, scale, rate):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _fused(q, k, v, seed, scale, rate):
-    out, _ = _fused_fwd(q, k, v, seed, scale, rate)
-    return out
+    return _fused_fwd(q, k, v, seed, scale, rate)
 
 
 def _fused_vjp_fwd(q, k, v, seed, scale, rate):
-    out, lse = _fused_fwd(q, k, v, seed, scale, rate)
-    return out, (q, k, v, out, lse, seed)
+    out = _fused_fwd(q, k, v, seed, scale, rate)
+    return out, (q, k, v, out, seed)
 
 
 def _fused_vjp_bwd(scale, rate, res, g):
-    q, k, v, o, lse, seed = res
-    dq, dk, dv = _fused_bwd_impl(q, k, v, o, lse, seed, g, scale, rate)
+    q, k, v, o, seed = res
+    dq, dk, dv = _fused_bwd_impl(q, k, v, o, seed, g, scale, rate)
     dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
     return dq, dk, dv, dseed
 
@@ -322,8 +333,7 @@ def fused_attention(q, k, v, scale, dropout_rate=0.0, rng=None):
     b, h, n, d = q.shape
     rate = float(dropout_rate) if rng is not None else 0.0
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    if (not on_tpu and not INTERPRET) or _q_blk(n) is None \
-            or _blk(n, _K_BLK) is None:
+    if (not on_tpu and not INTERPRET) or not _mix_collision_free(n):
         return attention_xla(q, k, v, scale, rate, rng)
     bh = b * h
     if rate > 0.0:

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from corrifnet_tpu.config import load_config
-from corrifnet_tpu.data import batch_iterator, cross_val, load_dstl
+from corrifnet_tpu.data import cross_val, load_dstl
+from corrifnet_tpu.data.dataset import make_batches
 from corrifnet_tpu.metrics import jaccard_f1_pair
 from corrifnet_tpu.models import create_model, get_spec
 from corrifnet_tpu.train import Checkpointer, final_ckpt_name, init_state, make_optimizer
@@ -48,7 +49,7 @@ def per_image_metrics(model, params, batch_stats, images, masks, indices,
         return jax.vmap(jaccard_f1_pair)(m0, o0)
 
     jacks, f1s = [], []
-    for batch in batch_iterator(images, masks, indices, batch_size):
+    for batch in make_batches(images, masks, indices, batch_size):
         j, f = step(batch.images, batch.masks)
         keep = batch.valid.astype(bool)
         jacks.append(np.asarray(j).reshape(-1)[keep])

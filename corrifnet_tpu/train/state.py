@@ -53,7 +53,8 @@ def make_optimizer(kind: str) -> optax.GradientTransformation:
 def init_state(model, rng, sample_images, optimizer) -> TrainState:
     variables = jax.jit(
         functools.partial(model.init, train=False), static_argnames=()
-    )({"params": rng}, sample_images)
+    )({"params": rng, "style_noise": jax.random.fold_in(rng, 7)},
+      sample_images)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
@@ -98,7 +99,10 @@ def make_train_step(model, optimizer) -> Callable:
                 images,
                 True,
                 mutable=["batch_stats"],
-                rngs={"dropout": rng},
+                # 'style_noise' feeds RobustMseg(style_noise=True)
+                # (RobustSeg.py valid=True path); unused streams are free.
+                rngs={"dropout": rng,
+                      "style_noise": jax.random.fold_in(rng, 7)},
             )
             out = out.astype(jnp.float32)
             loss, jac, n_valid = _masked_loss_and_jaccard(out, masks, valid)
@@ -128,7 +132,10 @@ def make_eval_step(model) -> Callable:
 
     def step(params, batch_stats, images, masks, valid):
         out = model.apply(
-            {"params": params, "batch_stats": batch_stats}, images, False
+            {"params": params, "batch_stats": batch_stats}, images, False,
+            # deterministic eval elsewhere; RobustMseg(style_noise=True)
+            # draws this stream even in eval (reference valid=True path)
+            rngs={"style_noise": jax.random.PRNGKey(7)},
         ).astype(jnp.float32)
         loss, jac, n_valid = _masked_loss_and_jaccard(out, masks, valid)
         return {"loss": loss, "jaccard": jac, "n_valid": n_valid, "outputs": out}

@@ -75,48 +75,60 @@ for name, a in zip("qkv", g):
 # matrix with identity-block v's (zeros in P_drop identify dropped entries,
 # since softmax probabilities are strictly positive), then compare fused
 # fwd+grads against an XLA reference using that explicit mask.
-n2 = 256
-q2, k2, v2 = qkv((1, 2, n2, 64), seed=11)
+# n=256: single q block / single k tile. n=1536 (the MMVit2 multimodal
+# length): q_blk=128 -> 12 q blocks, k_blk=512 -> 3 k tiles — exercises
+# the qi/kj seed-mixing across blocks in fwd AND both backward kernels.
 scale2 = 0.125
-cols = []
-for j in range(n2 // 64):
-    ve = np.zeros((1, 2, n2, 64), np.float32)
-    ve[:, :, j * 64:(j + 1) * 64, :] = np.eye(64)
-    cols.append(np.asarray(fused_attention(
-        q2, k2, jnp.asarray(ve), scale2, dropout_rate=rate, rng=rng)))
-p_drop = np.concatenate(cols, axis=-1)  # (1,2,n2,n2), scaled kept probs
-keep = jnp.asarray(p_drop > 0)
-frac = 1.0 - np.asarray(keep).mean()
-print(f"probed mask drop fraction: {frac:.4f} (rate={rate})")
-assert abs(frac - rate) < 0.02
 
 
-def ref_masked(qq, kk, vv):
-    s = jnp.einsum("bhnd,bhmd->bhnm", qq, kk) * scale2
-    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
-    pd = jnp.where(keep, p / (1.0 - rate), 0.0)
-    return jnp.einsum("bhnm,bhmd->bhnd", pd, vv)
+def probe_mask(qq, kk, n, shape, call):
+    cols = []
+    for j in range(n // 64):
+        ve = np.zeros(shape, np.float32)
+        ve[..., j * 64:(j + 1) * 64, :] = np.eye(64)
+        cols.append(np.asarray(call(qq, kk, jnp.asarray(ve))))
+    return np.concatenate(cols, axis=-1)  # scaled kept probs
 
 
-got = np.asarray(jax.jit(lambda a, b, c: fused_attention(
-    a, b, c, scale2, dropout_rate=rate, rng=rng))(q2, k2, v2))
-want = np.asarray(jax.jit(ref_masked)(q2, k2, v2))
-e = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
-print(f"dropout fwd vs explicit-mask XLA: rel {e:.2e}")
-assert e < 3e-2, e
+def check_explicit_mask(n2, seed):
+    q2, k2, v2 = qkv((1, 2, n2, 64), seed=seed)
+    call = lambda a, b, c: fused_attention(a, b, c, scale2,
+                                           dropout_rate=rate, rng=rng)
+    p_drop = probe_mask(q2, k2, n2, (1, 2, n2, 64), call)
+    keep = jnp.asarray(p_drop > 0)
+    frac = 1.0 - np.asarray(keep).mean()
+    print(f"n={n2} probed mask drop fraction: {frac:.4f} (rate={rate})")
+    assert abs(frac - rate) < 0.02
 
-gf = jax.jit(jax.grad(
-    lambda a, b, c: (fused_attention(a, b, c, scale2, dropout_rate=rate,
-                                     rng=rng) ** 2).sum(),
-    argnums=(0, 1, 2)))(q2, k2, v2)
-gx = jax.jit(jax.grad(
-    lambda a, b, c: (ref_masked(a, b, c) ** 2).sum(),
-    argnums=(0, 1, 2)))(q2, k2, v2)
-for name, a, bb in zip("qkv", gf, gx):
-    e = np.abs(np.asarray(a) - np.asarray(bb)).max() / (
-        np.abs(np.asarray(bb)).max() + 1e-9)
-    print(f"dropout d{name} vs explicit-mask XLA: rel {e:.2e}")
-    assert e < 3e-2, (name, e)
+    def ref_masked(qq, kk, vv):
+        s = jnp.einsum("bhnd,bhmd->bhnm", qq, kk) * scale2
+        p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+        pd = jnp.where(keep, p / (1.0 - rate), 0.0)
+        return jnp.einsum("bhnm,bhmd->bhnd", pd, vv)
+
+    got = np.asarray(jax.jit(call)(q2, k2, v2))
+    want = np.asarray(jax.jit(ref_masked)(q2, k2, v2))
+    e = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    print(f"n={n2} dropout fwd vs explicit-mask XLA: rel {e:.2e}")
+    assert e < 3e-2, e
+
+    gf = jax.jit(jax.grad(
+        lambda a, b, c: (call(a, b, c) ** 2).sum(), argnums=(0, 1, 2)
+    ))(q2, k2, v2)
+    gx = jax.jit(jax.grad(
+        lambda a, b, c: (ref_masked(a, b, c) ** 2).sum(), argnums=(0, 1, 2)
+    ))(q2, k2, v2)
+    for name, a, bb in zip("qkv", gf, gx):
+        e = np.abs(np.asarray(a) - np.asarray(bb)).max() / (
+            np.abs(np.asarray(bb)).max() + 1e-9)
+        print(f"n={n2} dropout d{name} vs explicit-mask XLA: rel {e:.2e}")
+        assert e < 3e-2, (name, e)
+    return keep
+
+
+check_explicit_mask(1536, seed=17)
+n2 = 256
+keep = check_explicit_mask(n2, seed=11)
 # vmap + dropout (the modality-stream configuration): mask regeneration
 # must hold per vmapped instance, each with its own rng.
 keys = jax.random.split(jax.random.PRNGKey(42), 3)

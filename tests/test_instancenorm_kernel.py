@@ -62,3 +62,23 @@ def test_general_conv3d_epilogue_flag_matches_default():
     out1 = m1.apply(v, x)
     out2 = m2.apply(v, x)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+def test_kernel_multi_channel_tile_partial_final():
+    """Force the (B, n_tiles>1) grid with a PARTIAL final channel tile —
+    the production pruned-decoder slab shape class that single-tile tests
+    never reach (c=24 at n=65536 -> ct=16, 2 tiles, rows 16..23 + pad)."""
+    c, spatial = 24, (256, 256)
+    n = spatial[0] * spatial[1]
+    ct = in_mod._channel_tile(c, n)
+    assert 0 < ct < c, f"shape must exercise multi-tile, got ct={ct}"
+    x = jnp.asarray(_vol((1, 1) + spatial + (c,), seed=5))
+    in_mod.INTERPRET = True
+    try:
+        got = relu_instancenorm(x)
+    finally:
+        in_mod.INTERPRET = False
+    want = relu_instancenorm_xla(x)
+    # atol 1e-4: f32 reduction-order noise over 65536-element spatial sums
+    # (measured max ~2.3e-5, uniform across channels/tiles)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)

@@ -213,3 +213,28 @@ def test_kill_and_resume_matches_uninterrupted(setup, tmp_path):
     np.testing.assert_allclose(hist_a["val_jac"][2], hist_b2["val_jac"][0], rtol=0)
     for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_style_noise_model_traces_through_pipeline_steps():
+    """RobustMseg(style_noise=True) draws a 'style_noise' RNG stream even
+    in eval mode (the reference's valid=True path) — init_state,
+    make_train_step and make_eval_step must all supply it. Trace-level
+    check (eval_shape): a missing stream raises flax InvalidRngError at
+    trace time."""
+    from corrifnet_tpu.models.robustseg import RobustMseg
+    from corrifnet_tpu.train import init_state, make_optimizer
+    from corrifnet_tpu.train.state import make_eval_step, make_train_step
+
+    model = RobustMseg(style_noise=True)
+    images = jnp.zeros((1, 3, 3, 32, 32), jnp.float32)
+    masks = jnp.zeros((1, 3, 1, 32, 32), jnp.float32)
+    valid = jnp.ones((1,), jnp.float32)
+    opt = make_optimizer("Adam")
+    state = init_state(model, jax.random.PRNGKey(0), images, opt)
+
+    train_step = make_train_step(model, opt)
+    jax.eval_shape(
+        train_step, state, images, masks, valid, 1e-4, jax.random.PRNGKey(1)
+    )
+    eval_step = make_eval_step(model)
+    jax.eval_shape(eval_step, state.params, state.batch_stats, images, masks, valid)
