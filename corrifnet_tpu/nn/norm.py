@@ -15,16 +15,20 @@ Torch-parity notes:
   * Stats are always computed in float32 regardless of compute dtype.
 
 Application strategy (TPU): stats/affine fold into per-channel ``a = scale *
-rsqrt(var+eps)`` and ``b = bias - mean*a`` in f32, then ``y = x*a + b`` is
-evaluated with x upcast to f32 INSIDE the elementwise chain and the result
-cast back to the compute dtype. The fold keeps the apply a single
-convert->fma->convert chain that XLA fuses into one pass (the old
-(x-mean)*rsqrt(...)*scale+bias form shared a materialized f32 copy of x
-between the stat reductions and the apply — standalone HBM copies worth
-~13% of device step time at batch 16). Doing the fma in f32 (not bf16)
-matters: for a channel with |mean| >> std, the x*a ~ -b cancellation needs
-f32 mantissa bits; the per-element relative error is ~6e-8 * |mean|/std,
-vs ~4e-3 * |mean|/std had it run in bf16.
+rsqrt(var+eps)`` and ``b = bias - mean*a`` in f32, then ``y = x*a + b`` runs
+in the COMPUTE dtype — algebraically identical to normalizing in f32, but
+the full activation tensor never round-trips through f32 (profiled: the
+f32 converts around every encoder BN were standalone HBM copies, ~13% of
+device step time at batch 16).
+
+Why the fma is NOT forced to f32: an ``(x.astype(f32) * a + b)`` apply was
+measured at +6 ms/step (B=8, ~5%) — XLA CSEs the f32 convert with the stat
+reductions' and materializes the f32 activation with a layout copy (trace:
+standalone ``copy`` ops at the stem BN). The bf16-fma cancellation error
+(~4e-3 * |mean|/std per element when x ~ mean) is on par with bf16 rounding
+elsewhere in the compute path, and in f32 training mode (dtype=None) the
+two forms are bitwise identical — so precision-critical runs already get
+the f32 fma for free.
 """
 
 from __future__ import annotations
@@ -94,8 +98,8 @@ class BatchNorm(fnn.Module):
         a = checkpoint_name(a, "bn_stats")
         b = checkpoint_name(b, "bn_stats")
         dt = self.dtype or x.dtype
-        # fma in f32 (see module docstring), single fused convert chain
-        return (x.astype(jnp.float32) * a + b).astype(dt)
+        # compute-dtype fma (see module docstring for the measured trade-off)
+        return x.astype(dt) * a.astype(dt) + b.astype(dt)
 
 
 class InstanceNorm(fnn.Module):
@@ -118,7 +122,7 @@ class InstanceNorm(fnn.Module):
         a = jax.lax.rsqrt(var + self.epsilon)
         b = -mean * a
         dt = self.dtype or x.dtype
-        return (x.astype(jnp.float32) * a + b).astype(dt)
+        return x.astype(dt) * a.astype(dt) + b.astype(dt)
 
 
 class GroupNorm(fnn.Module):
@@ -151,8 +155,8 @@ class GroupNorm(fnn.Module):
         bf = bias - meanc * af
         bc = (orig_shape[0],) + (1,) * (x.ndim - 2) + (features,)
         dt = self.dtype or x.dtype
-        return (x.astype(jnp.float32) * af.reshape(bc)
-                + bf.reshape(bc)).astype(dt)
+        return (x.astype(dt) * af.reshape(bc).astype(dt)
+                + bf.reshape(bc).astype(dt))
 
 
 class LayerNorm(fnn.Module):
@@ -172,6 +176,6 @@ class LayerNorm(fnn.Module):
         var = jnp.maximum(sq - mean * mean, 0.0)
         inv = jax.lax.rsqrt(var + self.epsilon)
         dt = self.dtype or x.dtype
-        a = scale * inv  # (..., 1) * (C,) -> (..., C), f32
-        b = bias - mean * inv * scale
-        return (xf * a + b).astype(dt)
+        a = (scale * inv).astype(dt)  # (..., 1) * (C,) -> (..., C)
+        b = (bias - mean * inv * scale).astype(dt)
+        return x.astype(dt) * a + b
