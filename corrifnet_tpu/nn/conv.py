@@ -188,16 +188,19 @@ class Conv(fnn.Module):
         else:
             st_, pad_, dl_ = st, pad_cfg, dl
 
-        dn = _dim_numbers(x.ndim)
-        y = jax.lax.conv_general_dilated(
-            x,
-            kernel,
-            window_strides=st_,
-            padding=pad_,
-            rhs_dilation=dl_,
-            dimension_numbers=dn,
-            feature_group_count=self.groups,
-        )  # XLA accumulates low-precision convs in f32 on the MXU
+        if x.ndim == 4:
+            # XLA accumulates low-precision convs in f32 on the MXU
+            y = _conv2d(x, kernel, st_, pad_, dl_, self.groups, cdtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                kernel,
+                window_strides=st_,
+                padding=pad_,
+                rhs_dilation=dl_,
+                dimension_numbers=_dim_numbers(x.ndim),
+                feature_group_count=self.groups,
+            )
         if fold:
             y = y.reshape(*orig_shape[: 1 + fold], *y.shape[1:])
         if bias is not None:
@@ -245,14 +248,9 @@ class Conv(fnn.Module):
         kcat = jnp.transpose(kernel, (1, 2, 0, 3, 4)).reshape(
             kernel.shape[1], kernel.shape[2], 3 * cin, kernel.shape[4]
         )
-        y = jax.lax.conv_general_dilated(
+        y = _conv2d(
             xcat.reshape(b * out_d, *xcat.shape[2:]),
-            kcat,
-            window_strides=st[1:],
-            padding=pad2d,
-            rhs_dilation=dl[1:],
-            dimension_numbers=_dim_numbers(4),
-            feature_group_count=self.groups,
+            kcat, st[1:], pad2d, dl[1:], self.groups, cdtype,
         )
         y = y.reshape(b, out_d, *y.shape[1:])
         if bias is not None:
@@ -332,19 +330,86 @@ class Conv(fnn.Module):
         kcat = jnp.transpose(kernel, (1, 2, 0, 3, 4)).reshape(
             kernel.shape[1], kernel.shape[2], 3 * cin, kernel.shape[4]
         )
-        y = jax.lax.conv_general_dilated(
+        y = _conv2d(
             xcat.reshape(b * out_d, *xcat.shape[2:]),
-            kcat,
-            window_strides=st[1:],
-            padding=pad2d,
-            rhs_dilation=dl[1:],
-            dimension_numbers=_dim_numbers(4),
-            feature_group_count=self.groups,
+            kcat, st[1:], pad2d, dl[1:], self.groups, cdtype,
         )
         y = y.reshape(b, out_d, *y.shape[1:]).astype(cdtype)
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
+
+
+def _s2d_eligible(x, kernel, strides, padding, dilation, groups):
+    """Space-to-depth profitability test for a channels-last 2-D conv.
+
+    A stride-(2,2) conv with few input channels wastes the MXU's 128-wide
+    lane dim (the stem's tap-folded cin=9 conv measured ~5% MFU). Blocking
+    2x2 input pixels into channels turns it into a stride-1 conv with 4x
+    the contraction depth — identical math, ~4x lane utilization."""
+    if strides != (2, 2) or dilation != (1, 1) or groups != 1:
+        return False
+    kh, kw, cin, _ = kernel.shape
+    if cin > 32 or max(kh, kw) < 2:
+        return False
+    (pl_h, pr_h), (pl_w, pr_w) = padding
+    h, w = x.shape[1], x.shape[2]
+    return h + pl_h + pr_h >= kh and w + pl_w + pr_w >= kw
+
+
+def _s2d_conv2d(x, kernel, padding, cdtype):
+    """Stride-2 conv as a VALID stride-1 conv over 2x2-blocked channels.
+
+    y[i,j,o] = sum_{u,v,c} xpad[2i+u, 2j+v, c] W[u,v,c,o]. Writing
+    u = 2U + a (a in {0,1}): xpad blocks to X[P,Q,(a,b,c)] = xpad[2P+a,
+    2Q+b, c] and W pads (zeros on the phantom taps) to W'[U,V,(a,b,c),o] =
+    W[2U+a, 2V+b, c, o], giving y = conv_valid_s1(X, W'). Exact — the
+    zero kernel taps annihilate any even-padding rows added to xpad."""
+    kh, kw, cin, cout = kernel.shape
+    (pl_h, pr_h), (pl_w, pr_w) = padding
+    n, h, w, _ = x.shape
+    hp, wp = h + pl_h + pr_h, w + pl_w + pr_w
+    xpad = jnp.pad(
+        x, [(0, 0), (pl_h, pr_h + hp % 2), (pl_w, pr_w + wp % 2), (0, 0)]
+    )
+    hp2, wp2 = (hp + 1) // 2, (wp + 1) // 2
+    xb = xpad.reshape(n, hp2, 2, wp2, 2, cin)
+    xb = xb.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp2, wp2, 4 * cin)
+
+    k2h, k2w = (kh + 1) // 2, (kw + 1) // 2
+    kpad = jnp.pad(
+        kernel, [(0, 2 * k2h - kh), (0, 2 * k2w - kw), (0, 0), (0, 0)]
+    )
+    kb = kpad.reshape(k2h, 2, k2w, 2, cin, cout)
+    kb = kb.transpose(0, 2, 1, 3, 4, 5).reshape(k2h, k2w, 4 * cin, cout)
+
+    return jax.lax.conv_general_dilated(
+        xb,
+        kb.astype(cdtype),
+        window_strides=(1, 1),
+        padding=[(0, 0), (0, 0)],
+        dimension_numbers=_dim_numbers(4),
+    )
+
+
+def _conv2d(x, kernel, strides, padding, dilation, groups, cdtype):
+    """Channels-last 2-D conv with the space-to-depth rewrite when it wins.
+
+    ``padding`` must already be numeric (lo, hi) pairs (replicate/reflect
+    modes are materialized by the callers before reaching here)."""
+    strides, dilation = tuple(strides), tuple(dilation)
+    padding = tuple((lo, hi) for lo, hi in padding)
+    if _s2d_eligible(x, kernel, strides, padding, dilation, groups):
+        return _s2d_conv2d(x, kernel, padding, cdtype)
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=strides,
+        padding=list(padding),
+        rhs_dilation=dilation,
+        dimension_numbers=_dim_numbers(4),
+        feature_group_count=groups,
+    )
 
 
 def _dim_numbers(rank):

@@ -191,3 +191,54 @@ def test_conv3d_depth3_stride2_matches_torch():
                 .detach().numpy(), 1, -1)
             np.testing.assert_allclose(got, want, atol=1e-5,
                                        err_msg=f"D={D} {mode}")
+
+
+@pytest.mark.parametrize(
+    "shape,kh,kw,pad,cin",
+    [
+        ((2, 224, 224, 9), 7, 7, (3, 3), 9),     # tap-folded MMVit4 stem
+        ((2, 33, 31, 3), 3, 3, (1, 1), 3),       # odd H/W RGB stem
+        ((1, 20, 20, 16), 5, 5, (2, 1), 16),     # asymmetric padding
+        ((1, 18, 18, 4), 4, 4, (1, 1), 4),       # even kernel
+        ((1, 16, 16, 32), 2, 2, (0, 0), 32),     # eligibility edge: cin=32
+    ],
+)
+def test_space_to_depth_stride2_conv_exact(shape, kh, kw, pad, cin):
+    """The space-to-depth rewrite of a stride-(2,2) small-cin conv must be
+    EXACT vs the direct lax conv (same math, reassociated only across the
+    2x2 pixel blocks -> f32 tolerance at reassociation noise level)."""
+    from corrifnet_tpu.nn.conv import _conv2d, _s2d_eligible
+
+    rng = np.random.default_rng(42)
+    x = jnp.asarray(rng.normal(0, 1, shape).astype(np.float32))
+    k = jnp.asarray(
+        rng.normal(0, 0.1, (kh, kw, cin, 24)).astype(np.float32)
+    )
+    padding = (pad, pad)
+    assert _s2d_eligible(x, k, (2, 2), padding, (1, 1), 1)
+    got = _conv2d(x, k, (2, 2), padding, (1, 1), 1, jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x, k, window_strides=(2, 2), padding=list(padding),
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            x.shape, k.shape, ("NHWC", "HWIO", "NHWC")
+        ),
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_space_to_depth_not_applied_when_ineligible():
+    from corrifnet_tpu.nn.conv import _s2d_eligible
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (1, 16, 16, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 1, (3, 3, 8, 8)).astype(np.float32))
+    pad = ((1, 1), (1, 1))
+    assert not _s2d_eligible(x, k, (1, 1), pad, (1, 1), 1)    # stride 1
+    assert not _s2d_eligible(x, k, (2, 2), pad, (2, 2), 1)    # dilated
+    assert not _s2d_eligible(x, k, (2, 2), pad, (1, 1), 2)    # grouped
+    k_wide = jnp.zeros((3, 3, 64, 8), jnp.float32)
+    x_wide = jnp.zeros((1, 16, 16, 64), jnp.float32)
+    assert not _s2d_eligible(x_wide, k_wide, (2, 2), pad, (1, 1), 1)  # cin
