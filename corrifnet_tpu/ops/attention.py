@@ -198,12 +198,18 @@ def _fused_fwd(q, k, v, seed, scale, rate):
 # --------------------------------------------------------------- backward
 
 
-def _dq_kernel(scale, rate, q_blk, q_ref, k_ref, v_ref, do_ref, o_ref,
-               seed_ref, dq_ref):
+def _bwd_kernel(scale, rate, q_blk, q_ref, k_ref, v_ref, do_ref, o_ref,
+                seed_ref, dq_ref, dk_ref, dv_ref):
+    """One walk over query blocks producing ALL THREE gradients: dq is
+    written per block, dk/dv accumulate in f32 carries. A single kernel
+    (vs the earlier separate dq and dkv passes) recomputes the softmax
+    rows and dp ONCE per block instead of twice — the dominant backward
+    matmuls — and loads q/k/v/do/o from HBM once."""
     k, v = k_ref[0], v_ref[0]
-    n = k.shape[0]
+    n, d = k.shape
 
     def body(qi, carry):
+        dk, dv = carry
         rows = pl.ds(qi * q_blk, q_blk)
         q, do = q_ref[0, rows, :], do_ref[0, rows, :]
         p = _softmax_rows(q, k, scale)  # (q_blk, N) f32
@@ -217,43 +223,16 @@ def _dq_kernel(scale, rate, q_blk, q_ref, k_ref, v_ref, do_ref, o_ref,
             axis=-1, keepdims=True
         )
         if rate > 0.0:
-            keep = _keep_row(rate, seed_ref, qi, q_blk, n)
-            dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
-        ds = p * (dp - delta) * scale  # (q_blk, N) f32
-        dq_ref[0, rows, :] = jnp.dot(
-            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
-        ).astype(dq_ref.dtype)
-        return carry
-
-    jax.lax.fori_loop(0, n // q_blk, body, 0)
-
-
-def _dkv_kernel(scale, rate, q_blk, q_ref, k_ref, v_ref, do_ref, o_ref,
-                seed_ref, dk_ref, dv_ref):
-    k, v = k_ref[0], v_ref[0]
-    n, d = k.shape
-
-    def body(qi, carry):
-        dk, dv = carry
-        rows = pl.ds(qi * q_blk, q_blk)
-        q, do = q_ref[0, rows, :], do_ref[0, rows, :]
-        p = _softmax_rows(q, k, scale)  # (q_blk, N) f32
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        delta = (do.astype(jnp.float32)
-                 * o_ref[0, rows, :].astype(jnp.float32)).sum(
-            axis=-1, keepdims=True
-        )
-        if rate > 0.0:
             # regenerate exactly the forward's mask row for block qi
             keep = _keep_row(rate, seed_ref, qi, q_blk, n)
             p_drop = jnp.where(keep, p / (1.0 - rate), 0.0)
             dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
         else:
             p_drop = p
-        ds = p * (dp - delta) * scale
+        ds = p * (dp - delta) * scale  # (q_blk, N) f32
+        dq_ref[0, rows, :] = jnp.dot(
+            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+        ).astype(dq_ref.dtype)
         dv = dv + jax.lax.dot_general(
             p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -276,27 +255,17 @@ def _fused_bwd_impl(q, k, v, o, seed, g, scale, rate):
     bh, n, d = q.shape
     q_blk = _q_blk(n)
     row, seed_spec = _specs(bh, n, d)
-    in_specs = [row, row, row, row, row, seed_spec]
-    operands = (q, k, v, g, o, seed)
 
-    dq = pl.pallas_call(
-        functools.partial(_dq_kernel, float(scale), float(rate), q_blk),
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, float(scale), float(rate), q_blk),
         grid=(bh,),
-        in_specs=in_specs,
-        out_specs=row,
-        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
-        interpret=_interpret(),
-    )(*operands)
-
-    dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, float(scale), float(rate), q_blk),
-        grid=(bh,),
-        in_specs=in_specs,
-        out_specs=[row, row],
-        out_shape=[jax.ShapeDtypeStruct((bh, n, d), k.dtype),
+        in_specs=[row, row, row, row, row, seed_spec],
+        out_specs=[row, row, row],
+        out_shape=[jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+                   jax.ShapeDtypeStruct((bh, n, d), k.dtype),
                    jax.ShapeDtypeStruct((bh, n, d), v.dtype)],
         interpret=_interpret(),
-    )(*operands)
+    )(q, k, v, g, o, seed)
     return dq, dk, dv
 
 

@@ -10,6 +10,7 @@ from corrifnet_tpu.train.state import (
     init_state,
     make_eval_step,
     make_optimizer,
+    make_train_multi_step,
     make_train_step,
 )
 
@@ -26,5 +27,6 @@ __all__ = [
     "init_state",
     "make_eval_step",
     "make_optimizer",
+    "make_train_multi_step",
     "make_train_step",
 ]

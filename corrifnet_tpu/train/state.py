@@ -29,8 +29,8 @@ from flax import struct
 
 from corrifnet_tpu.metrics import jaccard2_masked
 
-__all__ = ["TrainState", "make_optimizer", "make_train_step", "make_eval_step",
-           "init_state"]
+__all__ = ["TrainState", "make_optimizer", "make_train_step",
+           "make_train_multi_step", "make_eval_step", "init_state"]
 
 
 @struct.dataclass
@@ -91,7 +91,35 @@ def _masked_loss_and_jaccard(outputs, masks, valid):
 def make_train_step(model, optimizer) -> Callable:
     """Returns jitted f(state, images, masks, valid, lr, rng) ->
     (state, metrics) with metrics = dict(loss, jaccard, n_valid)."""
+    return jax.jit(_train_step_fn(model, optimizer), donate_argnums=(0,))
 
+
+def make_train_multi_step(model, optimizer) -> Callable:
+    """K sequential optimizer steps in ONE device dispatch.
+
+    Returns jitted f(state, images, masks, valid, lr, rng) -> (state,
+    metrics) where images/masks/valid carry a leading steps axis
+    (``(k, B, ...)``); a ``lax.scan`` applies the single train step to
+    each slice in order, using ``fold_in(rng, i)`` as step i's RNG.
+    Same computation as k calls of ``make_train_step`` with those folded
+    keys (tested to ~1e-6; the scanned body compiles separately, so f32
+    reassociation differs), but the host round-trip — 30-40 ms through a
+    tunneled TPU attach — is paid once per k steps instead of per step.
+    Metrics come back stacked per step."""
+    step = _train_step_fn(model, optimizer)
+
+    def multi(state: TrainState, images, masks, valid, lr, rng):
+        def body(st, xs):
+            im, mk, vd, i = xs
+            return step(st, im, mk, vd, lr, jax.random.fold_in(rng, i))
+
+        k = images.shape[0]
+        return jax.lax.scan(body, state, (images, masks, valid, jnp.arange(k)))
+
+    return jax.jit(multi, donate_argnums=(0,))
+
+
+def _train_step_fn(model, optimizer) -> Callable:
     def step(state: TrainState, images, masks, valid, lr, rng):
         def loss_fn(params):
             out, mut = model.apply(
@@ -123,7 +151,7 @@ def make_train_step(model, optimizer) -> Callable:
         )
         return new_state, {"loss": loss, "jaccard": jac, "n_valid": n_valid}
 
-    return jax.jit(step, donate_argnums=(0,))
+    return step
 
 
 def make_eval_step(model) -> Callable:

@@ -238,3 +238,56 @@ def test_style_noise_model_traces_through_pipeline_steps():
     )
     eval_step = make_eval_step(model)
     jax.eval_shape(eval_step, state.params, state.batch_stats, images, masks, valid)
+
+
+def test_multi_step_matches_sequential_single_steps(setup):
+    """make_train_multi_step(k) runs the same computation as k sequential
+    make_train_step calls with rng = fold_in(base, i). The two compile as
+    different XLA programs (scan body vs standalone step), so f32
+    reassociation differences of ~1e-6 appear — tight allclose, not
+    bitwise."""
+    from corrifnet_tpu.train import make_train_multi_step
+
+    data, model, optimizer, state, lim = setup
+    k, bsz = 3, 4
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(data.images[:bsz])[None].repeat(k, axis=0)
+    images = images + jnp.asarray(
+        rng.normal(0, 0.1, images.shape).astype(np.float32)
+    )
+    masks = jnp.asarray(data.masks[:bsz])[None].repeat(k, axis=0)
+    valid = jnp.ones((k, bsz), jnp.float32)
+    base = jax.random.PRNGKey(5)
+
+    single = make_train_step(model, optimizer)
+    st_a = state
+    seq_metrics = []
+    for i in range(k):
+        st_a, m = single(
+            st_a, images[i], masks[i], valid[i], 1e-3,
+            jax.random.fold_in(base, i),
+        )
+        seq_metrics.append(m)
+
+    # fresh identical state (the first chain donated its buffers)
+    _, model2, optimizer2, state2, _ = (
+        data, model, optimizer,
+        init_state(model, jax.random.PRNGKey(0),
+                   jnp.asarray(data.images[:2]), optimizer), lim,
+    )
+    multi = make_train_multi_step(model2, optimizer2)
+    st_b, ms = multi(state2, images, masks, valid, 1e-3, base)
+
+    for a, b in zip(jax.tree.leaves(st_a.params), jax.tree.leaves(st_b.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3
+        )
+    for i in range(k):
+        np.testing.assert_allclose(
+            np.asarray(seq_metrics[i]["loss"]), np.asarray(ms["loss"])[i],
+            rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(seq_metrics[i]["jaccard"]), np.asarray(ms["jaccard"])[i],
+            rtol=1e-4,
+        )
