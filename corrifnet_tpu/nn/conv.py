@@ -393,7 +393,7 @@ def _s2d_conv2d(x, kernel, padding, cdtype):
 
 
 def _conv2d(x, kernel, strides, padding, dilation, groups, cdtype):
-    """Channels-last 2-D conv with the space-to-depth rewrite when it wins.
+    """Channels-last 2-D conv with the space-to-depth rewrites when they win.
 
     ``padding`` must already be numeric (lo, hi) pairs (replicate/reflect
     modes are materialized by the callers before reaching here)."""
@@ -401,6 +401,12 @@ def _conv2d(x, kernel, strides, padding, dilation, groups, cdtype):
     padding = tuple((lo, hi) for lo, hi in padding)
     if _s2d_eligible(x, kernel, strides, padding, dilation, groups):
         return _s2d_conv2d(x, kernel, padding, cdtype)
+    # NOTE: an output-side 2x2 blocking for stride-1 small-cout convs (the
+    # decoder's cout=8-32 heads, ~1% MFU) was built and measured: the
+    # transformed conv itself got >4x faster, but the block/unblock
+    # transposes and their backward pad/adds on the lane-starved (C<=48)
+    # activations cost ~2x what the conv saved (decoder region 13.1 ->
+    # 22.2 ms/step at B=8). Reverted; see NOTES.md round-2 ladder.
     return jax.lax.conv_general_dilated(
         x,
         kernel,
