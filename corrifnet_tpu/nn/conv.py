@@ -138,6 +138,20 @@ class Conv(fnn.Module):
             and x.shape[1] >= 2
         ):
             if st[0] == 1:
+                d_ = x.shape[1]
+                # Depth-in-channels banded form for the lane-starved small-
+                # cout case (pruned-decoder convs, cout 8-32 at <=6% output
+                # lanes): ONE 2-D conv (B,H,W,D*cin)->(B,H,W,D*cout) with a
+                # block-tridiagonal kernel. D/3 x the FLOPs, ~D x the
+                # output lanes — measured 3.5x faster fwd+bwd at the d1
+                # shape (scripts/micro_depthconv.py).
+                if (
+                    self.groups == 1
+                    and self.features <= 48
+                    and d_ * in_ch <= 256
+                    and d_ * self.features <= 160
+                ):
+                    return self._depth3_banded(x, kernel, bias, st, pd, dl, cdtype)
                 return self._depth3_decomposed(x, kernel, bias, st, pd, dl, cdtype)
             if self.groups == 1:
                 return self._depth3_strided(x, kernel, bias, st, pd, dl, cdtype)
@@ -253,6 +267,50 @@ class Conv(fnn.Module):
             kcat, st[1:], pad2d, dl[1:], self.groups, cdtype,
         )
         y = y.reshape(b, out_d, *y.shape[1:])
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y.astype(cdtype)
+
+    def _depth3_banded(self, x, kernel, bias, st, pd, dl, cdtype):
+        """Depth folded INTO channels: y[:, do] = sum_t conv2d(x[:, do+t-1],
+        W[t]) realized as ONE 2-D conv (B, H, W, D*cin) -> (B, H, W,
+        out_d*cout) whose kernel is block-tridiagonal over the depth
+        blocks — block (di, do) holds W[di-do+1] (zero off the band).
+        Depth boundary handling is baked into the edge blocks: replicate
+        folds W[0] (top) / W[2] (bottom) into the centre tap; zeros drops
+        them. Exact (torch-parity tested via the shared Conv tests)."""
+        b, d_, h_, w_, cin = x.shape
+        cout = kernel.shape[-1]
+        out_d = d_ if pd[0] == (1, 1) else d_ - 1
+
+        if self.pad_mode == "replicate" and (pd[1] != (0, 0) or pd[2] != (0, 0)):
+            x = jnp.pad(x, [(0, 0), (0, 0), pd[1], pd[2], (0, 0)], mode="edge")
+            h_, w_ = x.shape[2], x.shape[3]
+            pad2d = [(0, 0), (0, 0)]
+        else:
+            pad2d = [pd[1], pd[2]]
+
+        xf = x.transpose(0, 2, 3, 1, 4).reshape(b, h_, w_, d_ * cin)
+
+        rep = self.pad_mode == "replicate"
+        zero_blk = jnp.zeros_like(kernel[0])
+        cols = []
+        for do in range(out_d):
+            blocks = []
+            for di in range(d_):
+                t = di - do + 1
+                blk = kernel[t] if 0 <= t <= 2 else zero_blk
+                if rep and di == 0 and do == 0:
+                    blk = kernel[0] + kernel[1]  # x[-1] clamps to x[0]
+                if rep and pd[0] == (1, 1) and di == d_ - 1 and do == d_ - 1:
+                    blk = kernel[1] + kernel[2]  # x[D] clamps to x[D-1]
+                blocks.append(blk)
+            cols.append(jnp.concatenate(blocks, axis=2))
+        w2 = jnp.concatenate(cols, axis=3)  # (kh, kw, d_*cin, out_d*cout)
+
+        yf = _conv2d(xf, w2, st[1:], pad2d, dl[1:], 1, cdtype)
+        y = yf.reshape(b, yf.shape[1], yf.shape[2], out_d, cout)
+        y = y.transpose(0, 3, 1, 2, 4)
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y.astype(cdtype)

@@ -242,3 +242,38 @@ def test_space_to_depth_not_applied_when_ineligible():
     k_wide = jnp.zeros((3, 3, 64, 8), jnp.float32)
     x_wide = jnp.zeros((1, 16, 16, 64), jnp.float32)
     assert not _s2d_eligible(x_wide, k_wide, (2, 2), pad, (1, 1), 1)  # cin
+
+
+@pytest.mark.parametrize("pad_mode", ["zeros", "replicate"])
+@pytest.mark.parametrize("d,depth_pad", [(5, 1), (3, 1), (2, 1), (5, (1, 0))])
+def test_depth3_banded_matches_decomposed(pad_mode, d, depth_pad):
+    """The depth-in-channels banded conv (small-cout fast path) must equal
+    the tap-concat decomposition (torch-verified) for every depth pad mode
+    the decoder uses, including the (1,0) top-edge-only variant."""
+    from corrifnet_tpu.nn.conv import Conv
+
+    cin, cout = 16, 8
+    x = jnp.asarray(
+        np.random.default_rng(11).normal(0, 1, (2, d, 12, 10, cin))
+        .astype(np.float32)
+    )
+    pads = (depth_pad, 1, 1)
+    m = Conv(cout, (3, 3, 3), 1, pads, pad_mode=pad_mode)
+    v = m.init(jax.random.PRNGKey(0), x)
+    got = m.apply(v, x)
+    want = m.apply(
+        v, x,
+        method=lambda self, xx: self._depth3_decomposed(
+            xx.astype(jnp.float32),
+            v["params"]["kernel"],
+            v["params"]["bias"],
+            (1, 1, 1),
+            tuple((p, p) if isinstance(p, int) else tuple(p) for p in pads),
+            (1, 1, 1),
+            jnp.float32,
+        ),
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+    )
