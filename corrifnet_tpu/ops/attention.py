@@ -11,12 +11,15 @@ HBM-traffic item in the profiled train step. These kernels never let the
   * forward: grid (B*H,); per grid step Q/K/V for one (batch, head) are
     VMEM-resident and a fori_loop walks query blocks — full-row softmax in
     f32 (exact, no running-max bookkeeping needed);
-  * backward: two kernels with the same grid — dq, and dk/dv with f32
-    accumulators carried through the query-block fori_loop — that
-    recompute the softmax rows bitwise-identically from (q, k) and the
-    delta rows from (do, o); no logsumexp/delta residuals are stored
-    (their (N, 1) f32 refs lane-pad to 128 wide in VMEM and blew the
-    scoped budget);
+  * backward: ONE kernel with the same grid producing dq/dk/dv in a
+    single query-block walk (f32 dk/dv accumulator carries). The softmax
+    recompute uses the forward's logsumexp residual stored PACKED as
+    (BH, N/128, 128) f32 — 8 KB per row instead of the naive (N, 1) ref
+    that lane-pads 128-wide and blew the scoped-VMEM budget — so p
+    rebuilds in one fma+exp2 pass (no max/sum lane reductions). Softmax
+    runs in the exp2 domain with the score scale folded into the fma
+    constant, and the backward folds it into k*scale / a final dk scale
+    — no standalone scale pass over (q_blk, N) anywhere;
   * attention-probability dropout (the reference trains with
     Dropout(0.1) on the softmax output, mmvit4.py:307-312) runs INSIDE the
     kernels via the TPU PRNG, so forward and both backward kernels
@@ -47,6 +50,7 @@ CPU/GPU so tests run everywhere.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -68,7 +72,11 @@ _Q_BLK = 256  # uniform across fwd/dq/dkv: the dropout mask tile is (q_blk, k_bl
 _Q_BLK_LARGE = 128  # n > 1024: (q_blk, N) f32 temporaries must fit scoped
 # VMEM next to the dkv kernel's f32 accumulator carry (16MB limit at
 # n=2048 bf16, measured via the compile service).
-_K_BLK = 512  # mask-tile width (the score rows themselves span all of N)
+_K_BLK = 2048  # mask-tile width (the score rows themselves span all of N);
+# one whole-row PRNG call per query block (vs 4 reseed+concat at 512)
+
+_LOG2E = 1.4426950408889634
+_LANES = 128  # lse residual packing width (f32 lane tile)
 
 # Host-side per-(batch*head) seed stride; the in-kernel (qi, kj) mix
 # (max (n/q_blk - 1)*7919 + n/k_blk - 1) must stay below it so dropout
@@ -138,31 +146,68 @@ def _keep_row(rate, seed_ref, qi, q_blk, n):
 # ---------------------------------------------------------------- forward
 
 
+def _col_to_rows(col):
+    """(q_blk, 1) f32 -> (q_blk/128, 128): Mosaic supports the
+    (128, 1) <-> (1, 128) shape cast but not multi-row forms — chunk it."""
+    q_blk = col.shape[0]
+    return jnp.concatenate(
+        [col[i * _LANES:(i + 1) * _LANES].reshape(1, _LANES)
+         for i in range(q_blk // _LANES)], axis=0)
+
+
+def _rows_to_col(mat):
+    """(q_blk/128, 128) f32 -> (q_blk, 1), chunked (see _col_to_rows)."""
+    r = mat.shape[0]
+    return jnp.concatenate(
+        [mat[i:i + 1, :].reshape(_LANES, 1) for i in range(r)], axis=0)
+
+
+def _use_lse(n, q_blk):
+    """The packed lse residual needs 128-aligned query blocks; the model's
+    two shapes (512, 2048) qualify. Others recompute max/sum in backward.
+    ``CORRIFNET_ATTN_LSE=0`` disables the residual entirely: the extra
+    forward output pushes the B=16 MMVit4 train-step program past what
+    the axon remote compile helper survives (HTTP 500; B=8 — the faster
+    config anyway — compiles and gains ~5% step time from the residual)."""
+    if os.environ.get("CORRIFNET_ATTN_LSE", "1") == "0":
+        return False
+    return n % _LANES == 0 and q_blk % _LANES == 0
+
+
 def _softmax_rows(q, k, scale):
-    """f32 score rows + their softmax for one query block. The backward
-    kernels recompute this EXPRESSION from the same inputs, so p is
-    bitwise-identical to the forward's — no logsumexp residual needed
-    (a (bh, n, 1) f32 operand lane-pads to 128 wide in VMEM, ~1MB per
-    ref at n=2048; storing/reloading it is what blew the scoped-VMEM
-    budget, not the score tiles)."""
+    """f32 softmax rows for one query block, exp2-domain: the score scale
+    folds into the (s - m) * c fma feeding exp2 (c = scale * log2e), so no
+    standalone scale pass ever touches the (q_blk, N) array. Returns
+    (p, lse2) with lse2 = m*c + log2(sum) — the backward recomputes p from
+    the raw scores in ONE fma+exp2 pass as exp2(s*c - lse2), bitwise
+    identical to p here."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (q_blk, N) f32
+    )  # (q_blk, N) f32, raw (unscaled) scores
+    c = np.float32(scale * _LOG2E)
     m = s.max(axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    return e / e.sum(axis=-1, keepdims=True)
+    e = jnp.exp2((s - m) * c)
+    r = e.sum(axis=-1, keepdims=True)
+    p = e * (1.0 / r)
+    return p, m * c + jnp.log2(r)
 
 
-def _fwd_kernel(scale, rate, q_blk, q_ref, k_ref, v_ref, seed_ref, o_ref):
+def _fwd_kernel(scale, rate, q_blk, q_ref, k_ref, v_ref, seed_ref, o_ref,
+                lse_ref):
     k, v = k_ref[0], v_ref[0]
     n = k.shape[0]
 
     def body(qi, carry):
         rows = pl.ds(qi * q_blk, q_blk)
-        p = _softmax_rows(q_ref[0, rows, :], k, scale).astype(v.dtype)
+        p, lse2 = _softmax_rows(q_ref[0, rows, :], k, scale)
+        p = p.astype(v.dtype)
+        if lse_ref is not None:
+            # pack the (q_blk, 1) residual as (q_blk/128, 128) rows
+            lrows = pl.ds(qi * (q_blk // _LANES), q_blk // _LANES)
+            lse_ref[0, lrows, :] = _col_to_rows(lse2)
         if rate > 0.0:
             keep = _keep_row(rate, seed_ref, qi, q_blk, n)
-            p = jnp.where(keep, p / (1.0 - rate), 0.0).astype(v.dtype)
+            p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0).astype(v.dtype)
         o_ref[0, rows, :] = jnp.dot(
             p, v, preferred_element_type=jnp.float32
         ).astype(o_ref.dtype)
@@ -182,37 +227,69 @@ def _specs(bh, n, d):
 
 
 def _fused_fwd(q, k, v, seed, scale, rate):
+    """Returns (o, lse2) — lse2 is None for shapes the packed residual
+    can't represent (backward falls back to full softmax recompute)."""
     bh, n, d = q.shape
     q_blk = _q_blk(n)
     row, seed_spec = _specs(bh, n, d)
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel, float(scale), float(rate), q_blk),
+    kern = functools.partial(_fwd_kernel, float(scale), float(rate), q_blk)
+    if _use_lse(n, q_blk):
+        lrow = pl.BlockSpec((1, n // _LANES, _LANES), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+        o, lse = pl.pallas_call(
+            kern,
+            grid=(bh,),
+            in_specs=[row, row, row, seed_spec],
+            out_specs=[row, lrow],
+            out_shape=[jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+                       jax.ShapeDtypeStruct((bh, n // _LANES, _LANES),
+                                            jnp.float32)],
+            interpret=_interpret(),
+        )(q, k, v, seed)
+        return o, lse
+    o = pl.pallas_call(
+        lambda *refs: kern(*refs, None),
         grid=(bh,),
         in_specs=[row, row, row, seed_spec],
         out_specs=row,
         out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
         interpret=_interpret(),
     )(q, k, v, seed)
+    return o, None
 
 
 # --------------------------------------------------------------- backward
 
 
-def _bwd_kernel(scale, rate, q_blk, q_ref, k_ref, v_ref, do_ref, o_ref,
-                seed_ref, dq_ref, dk_ref, dv_ref):
+def _bwd_kernel(scale, rate, q_blk, use_lse, q_ref, k_ref, v_ref, do_ref,
+                o_ref, lse_ref, seed_ref, dq_ref, dk_ref, dv_ref):
     """One walk over query blocks producing ALL THREE gradients: dq is
     written per block, dk/dv accumulate in f32 carries. A single kernel
     (vs the earlier separate dq and dkv passes) recomputes the softmax
     rows and dp ONCE per block instead of twice — the dominant backward
-    matmuls — and loads q/k/v/do/o from HBM once."""
+    matmuls — and loads q/k/v/do/o from HBM once. With the forward's
+    packed lse residual, p recomputes in ONE fma+exp2 pass (the max/sum
+    lane reductions are skipped); the score scale folds into the dq
+    operand (k*scale, computed once per row) and a final dk scale."""
     k, v = k_ref[0], v_ref[0]
     n, d = k.shape
+    c = np.float32(scale * _LOG2E)
+    ks = (k.astype(jnp.float32) * np.float32(scale)).astype(k.dtype)
 
     def body(qi, carry):
         dk, dv = carry
         rows = pl.ds(qi * q_blk, q_blk)
         q, do = q_ref[0, rows, :], do_ref[0, rows, :]
-        p = _softmax_rows(q, k, scale)  # (q_blk, N) f32
+        if use_lse:
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            lrows = pl.ds(qi * (q_blk // _LANES), q_blk // _LANES)
+            lse2 = _rows_to_col(lse_ref[0, lrows, :])
+            p = jnp.exp2(s * c - lse2)  # bitwise == forward's p
+        else:
+            p, _ = _softmax_rows(q, k, scale)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -225,13 +302,14 @@ def _bwd_kernel(scale, rate, q_blk, q_ref, k_ref, v_ref, do_ref, o_ref,
         if rate > 0.0:
             # regenerate exactly the forward's mask row for block qi
             keep = _keep_row(rate, seed_ref, qi, q_blk, n)
-            p_drop = jnp.where(keep, p / (1.0 - rate), 0.0)
-            dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
+            inv = np.float32(1.0 / (1.0 - rate))
+            p_drop = jnp.where(keep, p * inv, 0.0)
+            dp = jnp.where(keep, dp * inv, 0.0)
         else:
             p_drop = p
-        ds = p * (dp - delta) * scale  # (q_blk, N) f32
+        ds = p * (dp - delta)  # (q_blk, N) f32; scale folded into ks / dk
         dq_ref[0, rows, :] = jnp.dot(
-            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+            ds.astype(k.dtype), ks, preferred_element_type=jnp.float32
         ).astype(dq_ref.dtype)
         dv = dv + jax.lax.dot_general(
             p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -247,25 +325,42 @@ def _bwd_kernel(scale, rate, q_blk, q_ref, k_ref, v_ref, do_ref, o_ref,
         0, n // q_blk, body,
         (jnp.zeros((n, d), jnp.float32), jnp.zeros((n, d), jnp.float32)),
     )
-    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dk_ref[0] = (dk * np.float32(scale)).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _fused_bwd_impl(q, k, v, o, seed, g, scale, rate):
+def _fused_bwd_impl(q, k, v, o, lse, seed, g, scale, rate):
     bh, n, d = q.shape
     q_blk = _q_blk(n)
     row, seed_spec = _specs(bh, n, d)
+    use_lse = lse is not None
+    kern = functools.partial(
+        _bwd_kernel, float(scale), float(rate), q_blk, use_lse
+    )
+    if use_lse:
+        lrow = pl.BlockSpec((1, n // _LANES, _LANES), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+        ins = [row, row, row, row, row, lrow, seed_spec]
+        operands = (q, k, v, g, o, lse, seed)
+        body = kern
+    else:
+        ins = [row, row, row, row, row, seed_spec]
+        operands = (q, k, v, g, o, seed)
+
+        def body(q_r, k_r, v_r, do_r, o_r, seed_r, dq_r, dk_r, dv_r):
+            return kern(q_r, k_r, v_r, do_r, o_r, None, seed_r,
+                        dq_r, dk_r, dv_r)
 
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, float(scale), float(rate), q_blk),
+        body,
         grid=(bh,),
-        in_specs=[row, row, row, row, row, seed_spec],
+        in_specs=ins,
         out_specs=[row, row, row],
         out_shape=[jax.ShapeDtypeStruct((bh, n, d), q.dtype),
                    jax.ShapeDtypeStruct((bh, n, d), k.dtype),
                    jax.ShapeDtypeStruct((bh, n, d), v.dtype)],
         interpret=_interpret(),
-    )(q, k, v, g, o, seed)
+    )(*operands)
     return dq, dk, dv
 
 
@@ -274,17 +369,17 @@ def _fused_bwd_impl(q, k, v, o, seed, g, scale, rate):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _fused(q, k, v, seed, scale, rate):
-    return _fused_fwd(q, k, v, seed, scale, rate)
+    return _fused_fwd(q, k, v, seed, scale, rate)[0]
 
 
 def _fused_vjp_fwd(q, k, v, seed, scale, rate):
-    out = _fused_fwd(q, k, v, seed, scale, rate)
-    return out, (q, k, v, out, seed)
+    out, lse = _fused_fwd(q, k, v, seed, scale, rate)
+    return out, (q, k, v, out, lse, seed)
 
 
 def _fused_vjp_bwd(scale, rate, res, g):
-    q, k, v, o, seed = res
-    dq, dk, dv = _fused_bwd_impl(q, k, v, o, seed, g, scale, rate)
+    q, k, v, o, lse, seed = res
+    dq, dk, dv = _fused_bwd_impl(q, k, v, o, lse, seed, g, scale, rate)
     dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
     return dq, dk, dv, dseed
 

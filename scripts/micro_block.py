@@ -62,6 +62,45 @@ def make_params(rng, g=None):
     return mk((CIN, CMID)), mk((3, 3, CMID, CMID)), mk((CMID, CIN))
 
 
+def gblock(p, x, groups, dense=False):
+    """Modality-in-channels bottleneck: x (B, H, W, G*CIN); grouped convs
+    (feature_group_count=G) keep per-modality weights — same math as vmap,
+    but every elementwise/norm/layout op sees full-width (>=128 lane)
+    channel dims. ``dense`` embeds the grouped weights block-diagonally in
+    a dense conv (G x the FLOPs at full MXU lane util) to measure which
+    side of the tradeoff XLA's grouped lowering lands on."""
+    w1, w2, w3 = p  # (G, CIN, CMID), (G, 3, 3, CMID, CMID), (G, CMID, CIN)
+
+    def gconv(y, w, kh):
+        g, ci, co = w.shape[0], w.shape[-2], w.shape[-1]
+        if dense:
+            wd = jnp.zeros((kh, kh, g * ci, g * co), w.dtype)
+            for gi in range(g):
+                blk = w[gi].reshape(kh, kh, ci, co)
+                wd = wd.at[:, :, gi * ci:(gi + 1) * ci,
+                           gi * co:(gi + 1) * co].set(blk)
+            fgc = 1
+        else:
+            # grouped conv kernel layout: (kh, kw, ci, g*co)
+            wd = jnp.concatenate(
+                [w[gi].reshape(kh, kh, ci, co) for gi in range(g)], axis=-1
+            )
+            fgc = g
+        return jax.lax.conv_general_dilated(
+            y, wd, (1, 1), [(kh // 2, kh // 2)] * 2,
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                y.shape, wd.shape, ("NHWC", "HWIO", "NHWC")),
+            feature_group_count=fgc,
+        )
+
+    y = gconv(x, w1[:, None], 1)
+    y = _post(y)
+    y = gconv(y, w2, 3)
+    y = _post(y)
+    y = gconv(y, w3[:, None], 1)
+    return _post(y, res=x)
+
+
 def variant_fn(kind):
     if kind == "vmap":
         f = jax.vmap(block, in_axes=(0, 0))
@@ -74,6 +113,18 @@ def variant_fn(kind):
         def f(p, x):
             y = block(p, x.reshape(G * B, H, W, CIN))
             return y.reshape(G, B, H, W, CIN)
+    elif kind in ("fgroup", "fdense"):
+        def f(p, x):
+            # (G, B, H, W, C) -> (B, H, W, G*C)
+            xc = x.transpose(1, 2, 3, 0, 4).reshape(B, H, W, G * CIN)
+            y = gblock(p, xc, G, dense=(kind == "fdense"))
+            return y.reshape(B, H, W, G, CIN).transpose(3, 0, 1, 2, 4)
+    elif kind in ("fgroup_raw", "fdense_raw"):
+        # steady-state form: the chain carry IS (B, H, W, G*C) — no
+        # transpose or scrambled reshape anywhere (main() reshapes the
+        # initial carry once, outside the timed chain)
+        def f(p, x):
+            return gblock(p, x, G, dense=(kind == "fdense_raw"))
     else:
         raise ValueError(kind)
 
@@ -108,11 +159,13 @@ def main():
     for kind in kinds:
         p = make_params(jax.random.PRNGKey(1), g=None if kind == "shared" else G)
         chain = variant_fn(kind)
-        _ = float(chain(x3, p))  # compile
+        xk = (x3.transpose(1, 2, 3, 0, 4).reshape(B, H, W, G * CIN)
+              if kind.endswith("_raw") else x3)
+        _ = float(chain(xk, p))  # compile
         reps = []
         for _ in range(3):
             t0 = time.perf_counter()
-            _ = float(chain(x3, p))
+            _ = float(chain(xk, p))
             reps.append((time.perf_counter() - t0 - floor) / K_STEPS)
         ms = min(reps) * 1e3
         # fwd ~3x conv flops of one block * G... report raw ms/blockstep
