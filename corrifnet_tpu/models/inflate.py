@@ -82,7 +82,12 @@ def inflate_resnet50(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
 def merge_params(init_params: Dict, inflated: Dict) -> Dict:
     """Overlay inflated conv kernels onto a freshly initialized encoder
     params tree (BNs/adapt convs keep their fresh init, matching the
-    reference's fresh-BatchNorm3d semantics)."""
+    reference's fresh-BatchNorm3d semantics).
+
+    Targets the per-modality (pack_stage1=False) encoder tree. For the
+    default packed model, merge into a pack-off init first and convert the
+    result with :func:`~corrifnet_tpu.models.resnet3d.pack_stage1_variables`.
+    """
     import jax
 
     merged = jax.tree_util.tree_map(lambda x: x, init_params)  # copy

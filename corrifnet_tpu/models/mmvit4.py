@@ -36,7 +36,11 @@ import jax.numpy as jnp
 from flax import linen as fnn
 
 from corrifnet_tpu.models.decoder import DecoderFuse
-from corrifnet_tpu.models.resnet3d import BASIC_DIMS, ResNet3DEncoder
+from corrifnet_tpu.models.resnet3d import (
+    BASIC_DIMS,
+    PackedStage1,
+    ResNet3DEncoder,
+)
 from corrifnet_tpu.nn import Dense, EarlyFusionBlock, Transformer
 from corrifnet_tpu.nn import init as tinit
 from corrifnet_tpu.ops import correlation_fusion
@@ -87,25 +91,56 @@ class MMVit4(fnn.Module):
     depth_mode: str = "pruned"  # decoder depth mode: 'full' | 'pruned'
     remat_mode: str = "all"  # encoder scan remat: 'all' | 'early' | 'none'
     scan_unroll: int = 1  # encoder tail-scan unroll factor; 0 = full unroll
+    pack_stage1: bool = True  # stem+layer1 modality-packed (see PackedStage1)
 
     @fnn.compact
     def __call__(self, x, train: bool = False):
         b = x.shape[0]
         cdtype = self.dtype or x.dtype
-        # (B, M, C, H, W) -> stacked channels-last volumes (M, B, D=3, H, W, 1)
-        vol = jnp.moveaxis(x, 1, 0)[..., None].astype(cdtype)
 
-        VEncoder = fnn.vmap(
-            ResNet3DEncoder,
-            in_axes=(0, None),
-            out_axes=0,
-            variable_axes={"params": 0, "batch_stats": 0},
-            split_rngs={"params": True, "dropout": True},
-        )
-        e1, e2, e3, e4, e5, e6 = VEncoder(
-            remat_mode=self.remat_mode, scan_unroll=self.scan_unroll,
-            dtype=self.dtype, name="encoders"
-        )(vol, train)
+        if self.pack_stage1:
+            # (B, M, D, H, W) -> modality-packed (B, D, H, W, M): stage 1's
+            # <=64-channel streams run jointly at full lane width; unpack to
+            # the per-modality vmapped form where widths >=128 take over.
+            packed = jnp.transpose(x, (0, 2, 3, 4, 1)).astype(cdtype)
+            x1p, y1p = PackedStage1(
+                modalities=3, remat_mode=self.remat_mode, dtype=self.dtype,
+                name="packed_stage1",
+            )(packed, train)
+
+            def unpack(t):
+                bb, dd, hh, ww, mc = t.shape
+                t = t.reshape(bb, dd, hh, ww, 3, mc // 3)
+                return jnp.moveaxis(t, 4, 0)
+
+            stage1 = (unpack(x1p), unpack(y1p))
+            VEncoder = fnn.vmap(
+                ResNet3DEncoder,
+                in_axes=((0, 0), None),
+                out_axes=0,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True, "dropout": True},
+            )
+            e1, e2, e3, e4, e5, e6 = VEncoder(
+                remat_mode=self.remat_mode, scan_unroll=self.scan_unroll,
+                skip_stage1=True, dtype=self.dtype, name="encoders"
+            )(stage1, train)
+        else:
+            # (B, M, C, H, W) -> stacked channels-last volumes
+            # (M, B, D=3, H, W, 1)
+            vol = jnp.moveaxis(x, 1, 0)[..., None].astype(cdtype)
+
+            VEncoder = fnn.vmap(
+                ResNet3DEncoder,
+                in_axes=(0, None),
+                out_axes=0,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True, "dropout": True},
+            )
+            e1, e2, e3, e4, e5, e6 = VEncoder(
+                remat_mode=self.remat_mode, scan_unroll=self.scan_unroll,
+                dtype=self.dtype, name="encoders"
+            )(vol, train)
 
         # Early fusion per level (mmvit4.py:449-454).
         fused = [

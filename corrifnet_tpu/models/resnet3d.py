@@ -31,7 +31,7 @@ from flax import linen as fnn
 from corrifnet_tpu.nn import BatchNorm, Conv, max_pool, resize_linear
 from corrifnet_tpu.nn import init as tinit
 
-__all__ = ["ResNet3DEncoder", "BASIC_DIMS"]
+__all__ = ["ResNet3DEncoder", "PackedStage1", "pack_stage1_variables", "BASIC_DIMS"]
 
 BASIC_DIMS = 8  # mmvit4.py:10
 # ResNet50: (blocks, width) per layer, expansion 4 (torchvision resnet50).
@@ -42,39 +42,48 @@ Dtype = Any
 
 
 class Bottleneck3D(fnn.Module):
-    """1x1 reduce -> (1,3,3) spatial -> 1x1 expand, residual (mmvit4.py:196-212)."""
+    """1x1 reduce -> (1,3,3) spatial -> 1x1 expand, residual (mmvit4.py:196-212).
+
+    ``modalities=M`` runs the packed modality-in-channels form: activations
+    carry M streams on the channel axis and every conv is the
+    block-diagonal ``Conv(modalities=M)``; BatchNorm is per-channel, so it
+    is per-(stream, channel) automatically in the packed layout.
+    """
 
     width: int
     stride: int = 1
     has_downsample: bool = False
+    modalities: int = 1
     dtype: Dtype = None
 
     @fnn.compact
     def __call__(self, x, train: bool = True):
-        out_ch = self.width * _EXPANSION
+        m = self.modalities
+        mid_ch = self.width * m
+        out_ch = self.width * _EXPANSION * m
         identity = x
         y = Conv(
-            self.width, (1, 1, 1), use_bias=False,
+            mid_ch, (1, 1, 1), use_bias=False, modalities=m,
             kernel_init=tinit.kaiming_normal, dtype=self.dtype, name="conv1",
         )(x)
         y = BatchNorm(dtype=self.dtype, name="bn1")(y, use_running_average=not train)
         y = jax.nn.relu(y)
         y = Conv(
-            self.width, (1, 3, 3), strides=(1, self.stride, self.stride),
-            padding=(0, 1, 1), use_bias=False,
+            mid_ch, (1, 3, 3), strides=(1, self.stride, self.stride),
+            padding=(0, 1, 1), use_bias=False, modalities=m,
             kernel_init=tinit.kaiming_normal, dtype=self.dtype, name="conv2",
         )(y)
         y = BatchNorm(dtype=self.dtype, name="bn2")(y, use_running_average=not train)
         y = jax.nn.relu(y)
         y = Conv(
-            out_ch, (1, 1, 1), use_bias=False,
+            out_ch, (1, 1, 1), use_bias=False, modalities=m,
             kernel_init=tinit.kaiming_normal, dtype=self.dtype, name="conv3",
         )(y)
         y = BatchNorm(dtype=self.dtype, name="bn3")(y, use_running_average=not train)
         if self.has_downsample:
             identity = Conv(
                 out_ch, (1, 1, 1), strides=(1, self.stride, self.stride),
-                use_bias=False, kernel_init=tinit.kaiming_normal,
+                use_bias=False, modalities=m, kernel_init=tinit.kaiming_normal,
                 dtype=self.dtype, name="down_conv",
             )(x)
             identity = BatchNorm(dtype=self.dtype, name="down_bn")(
@@ -143,6 +152,131 @@ class _BottleneckTail(fnn.Module):
         return y
 
 
+class _PackedTailBlock(fnn.Module):
+    """remat body: one packed stride-1 bottleneck (train is a static
+    attribute so ``fnn.remat`` sees only array args)."""
+
+    width: int
+    train: bool
+    modalities: int
+    dtype: Dtype = None
+
+    @fnn.compact
+    def __call__(self, x):
+        return Bottleneck3D(
+            width=self.width, stride=1, has_downsample=False,
+            modalities=self.modalities, dtype=self.dtype, name="block",
+        )(x, self.train)
+
+
+class PackedStage1(fnn.Module):
+    """Stem + layer1 for ALL modalities jointly, modality packed into
+    channels: activations are (B, D, H, W, M*C) instead of M vmapped
+    (B, D, H, W, C) streams.
+
+    Why: every stage-1 channel count (stem cin 1, width 64) fills at most
+    half of the TPU's 128-wide lane dim in the per-modality form — every
+    conv, BN stat pass, relu, pool, and layout copy runs half-empty.
+    Packing M=3 modalities modality-major into channels makes the convs
+    dense block-diagonal (3x the MACs, zeros off-diagonal) but fully
+    lane-utilized, and all glue ops full-width: measured 26% faster
+    fwd+bwd than the vmapped form at the real shapes (micro_stage1.py,
+    11.62 vs 15.71 ms). Params stay per-modality ((M, ...) leading axes,
+    identical shapes/init to the vmapped encoder; see Conv.modalities) —
+    the math is unchanged (cross-modality weights are exact zeros), only
+    the compute layout differs. From layer2 on, widths >=128 fill the
+    lanes anyway and 3x MACs would lose — the model unpacks and runs the
+    remaining levels per-modality (ResNet3DEncoder(skip_stage1=True)).
+
+    Returns (x1, y): post-maxpool stem features (B, D, H, W, M*64) and
+    layer1 output (B, D, H, W, M*256), both packed modality-major.
+    """
+
+    modalities: int = 3
+    remat_mode: str = "all"  # remat tail blocks (matches _BottleneckTail)
+    dtype: Dtype = None
+
+    @fnn.compact
+    def __call__(self, x, train: bool = True):
+        m = self.modalities
+        y = Conv(
+            64 * m, (3, 7, 7), strides=(1, 2, 2), padding=(1, 3, 3),
+            use_bias=False, modalities=m, kernel_init=tinit.kaiming_normal,
+            dtype=self.dtype, name="stem_conv",
+        )(x)
+        y = jax.nn.relu(y)
+        y = BatchNorm(dtype=self.dtype, name="stem_bn")(y, use_running_average=not train)
+        x1 = max_pool(y, (1, 3, 3), (1, 2, 2), (0, 1, 1))
+
+        blocks, width = _LAYERS[0]
+        if self.remat_mode == "none":
+            Tail = _PackedTailBlock
+        else:
+            Tail = fnn.remat(
+                _PackedTailBlock,
+                policy=jax.checkpoint_policies.save_only_these_names("bn_stats"),
+            )
+        y = Bottleneck3D(
+            width=width, stride=1, has_downsample=True, modalities=m,
+            dtype=self.dtype, name="layer1_block0",
+        )(x1, train)
+        for bi in range(1, blocks):
+            y = Tail(
+                width=width, train=train, modalities=m,
+                dtype=self.dtype, name=f"layer1_b{bi}",
+            )(y)
+        return x1, y
+
+
+def pack_stage1_variables(variables, modalities: int = 3):
+    """Convert MMVit4(pack_stage1=False) variables to the pack_stage1=True
+    tree: pure moves and reshapes, no numeric change.
+
+    The vmapped tree stacks per-modality stage-1 params under
+    ``encoders/{stem_*, layer1_block0, layer1_tail}`` with a leading M
+    axis (tails additionally stacked over the scan axis). The packed tree
+    keeps conv kernels bitwise identical under ``packed_stage1/...``
+    ((M, ...) per-stream leaves, see Conv.modalities) and flattens BN
+    vectors (M, C) -> (M*C,) to match the packed channel axis."""
+    m = modalities
+    tail_blocks = _LAYERS[0][0] - 1
+
+    def convert_module(name, tree):
+        if "bn" in name:
+            return jax.tree.map(lambda v: v.reshape(-1), tree)
+        return tree  # conv: per-stream (M, ...) leaves, unchanged
+
+    def pack_collection(col):
+        enc = dict(col["encoders"])
+        ps1 = {}
+        for name in ("stem_conv", "stem_bn", "layer1_block0"):
+            if name in enc:
+                sub = enc.pop(name)
+                if name == "layer1_block0":
+                    ps1[name] = {
+                        k: convert_module(k, v) for k, v in sub.items()
+                    }
+                else:
+                    ps1[name] = convert_module(name, sub)
+        if "layer1_tail" in enc:
+            block = enc.pop("layer1_tail")["blocks"]["block"]
+            for bi in range(1, tail_blocks + 1):
+                picked = jax.tree.map(lambda v, i=bi - 1: v[:, i], block)
+                ps1[f"layer1_b{bi}"] = {"block": {
+                    k: convert_module(k, v) for k, v in picked.items()
+                }}
+        out = {k: v for k, v in col.items() if k != "encoders"}
+        out["encoders"] = enc
+        out["packed_stage1"] = ps1
+        return out
+
+    return {
+        cname: pack_collection(dict(col))
+        if cname in ("params", "batch_stats") else col
+        for cname, col in variables.items()
+    }
+
+
 class ResNet3DEncoder(fnn.Module):
     """Per-modality encoder returning (x1..x5 adapted levels, x6 bottleneck).
 
@@ -150,28 +284,38 @@ class ResNet3DEncoder(fnn.Module):
     its 3 bands on the depth axis). Outputs channels-last volumes with
     channel counts 8/16/32/64/64 and the 64-ch x6 at (8, 8, 8)
     (mmvit4.py:159-194).
+
+    ``skip_stage1=True``: stage 1 ran externally (PackedStage1); ``x`` is
+    then the per-modality tuple ``(x1, layer1_out)`` and the encoder picks
+    up at layer2. Stem/layer1 params are not declared in this mode.
     """
 
     remat_mode: str = "all"  # see _BottleneckTail
     scan_unroll: int = 1  # see _BottleneckTail
+    skip_stage1: bool = False
     dtype: Dtype = None
 
     @fnn.compact
     def __call__(self, x, train: bool = True) -> Tuple[jnp.ndarray, ...]:
         bd = BASIC_DIMS
-        # Stem: inflated conv1 (3,7,7)/(1,2,2), then ReLU BEFORE BatchNorm
-        # (mmvit4.py:170-174), then MaxPool3d((1,3,3),(1,2,2),(0,1,1)).
-        y = Conv(
-            64, (3, 7, 7), strides=(1, 2, 2), padding=(1, 3, 3), use_bias=False,
-            kernel_init=tinit.kaiming_normal, dtype=self.dtype, name="stem_conv",
-        )(x)
-        y = jax.nn.relu(y)
-        y = BatchNorm(dtype=self.dtype, name="stem_bn")(y, use_running_average=not train)
-        x1 = max_pool(y, (1, 3, 3), (1, 2, 2), (0, 1, 1))
-
-        feats = [x1]
-        y = x1
+        if self.skip_stage1:
+            x1, y = x
+            feats = [x1, y]
+        else:
+            # Stem: inflated conv1 (3,7,7)/(1,2,2), then ReLU BEFORE BatchNorm
+            # (mmvit4.py:170-174), then MaxPool3d((1,3,3),(1,2,2),(0,1,1)).
+            y = Conv(
+                64, (3, 7, 7), strides=(1, 2, 2), padding=(1, 3, 3), use_bias=False,
+                kernel_init=tinit.kaiming_normal, dtype=self.dtype, name="stem_conv",
+            )(x)
+            y = jax.nn.relu(y)
+            y = BatchNorm(dtype=self.dtype, name="stem_bn")(y, use_running_average=not train)
+            x1 = max_pool(y, (1, 3, 3), (1, 2, 2), (0, 1, 1))
+            feats = [x1]
+            y = x1
         for li, (blocks, width) in enumerate(_LAYERS):
+            if self.skip_stage1 and li == 0:
+                continue
             # first block carries the stride + projection downsample
             y = Bottleneck3D(
                 width=width,

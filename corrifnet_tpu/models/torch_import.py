@@ -190,8 +190,15 @@ def _decoder(sd) -> Dict:
     return out
 
 
-def mmvit4_variables_from_state_dict(state_dict: Mapping) -> Dict:
-    """Reference MMVit4 ``state_dict`` -> MMVit4 ``variables`` pytree."""
+def mmvit4_variables_from_state_dict(
+    state_dict: Mapping, pack_stage1: bool = False
+) -> Dict:
+    """Reference MMVit4 ``state_dict`` -> MMVit4 ``variables`` pytree.
+
+    ``pack_stage1=True`` emits the tree for ``MMVit4(pack_stage1=True)``
+    (the default fast config): stage-1 params move under ``packed_stage1``
+    via :func:`~corrifnet_tpu.models.resnet3d.pack_stage1_variables` —
+    pure moves/reshapes, no numeric change."""
     sd = dict(state_dict)
 
     enc_p, enc_s = [], []
@@ -222,4 +229,9 @@ def mmvit4_variables_from_state_dict(state_dict: Mapping) -> Dict:
         params[f"fusion{i}"] = {"conv": _conv(sd, f"fusion{i}.conv")}
 
     batch_stats = {"encoders": _stack_trees(enc_s)}
-    return {"params": params, "batch_stats": batch_stats}
+    variables = {"params": params, "batch_stats": batch_stats}
+    if pack_stage1:
+        from corrifnet_tpu.models.resnet3d import pack_stage1_variables
+
+        variables = pack_stage1_variables(variables)
+    return variables

@@ -52,11 +52,38 @@ def _tuple(v, n):
     return (v,) * n
 
 
+def _block_diag_kernel(k):
+    """(M, *ks, ci, co) per-stream kernels -> (*ks, M*ci, M*co) dense
+    block-diagonal kernel (stream i maps input block i to output block i;
+    zeros elsewhere). Gradients flow back through the diagonal reads only.
+    """
+    m = k.shape[0]
+    zero = jnp.zeros_like(k[0])
+    cols = [
+        jnp.concatenate([k[i] if j == i else zero for j in range(m)], axis=-2)
+        for i in range(m)
+    ]
+    return jnp.concatenate(cols, axis=-1)
+
+
 class Conv(fnn.Module):
     """N-D convolution (N inferred from input rank), channels-last.
 
     kernel_size/strides/padding/dilation: int or per-spatial-axis tuple.
     padding is symmetric ints per axis (torch-style).
+
+    ``modalities=M`` (M>1) is the modality-in-channels packed form: the
+    input carries M independent streams stacked modality-major on the
+    channel axis ((..., M*ci)), the params stay per-stream with a leading
+    M axis ((M, *ks, ci, co) — same shapes and init distribution as M
+    separate convs), and the compute runs ONE dense conv with the
+    per-stream kernels embedded block-diagonally ((*ks, M*ci, M*co),
+    zeros off the diagonal). M x the MACs of M separate convs, but full
+    128-lane channel utilization for the conv AND every surrounding
+    elementwise/norm op — measured 26% faster fwd+bwd than per-modality
+    ``nn.vmap`` at the MMVit4 stage-1 shapes (scripts/micro_stage1.py)
+    where ci<=64 lane-pads half-empty. Cross-stream terms multiply
+    exact zeros, so the math is identical to M separate convs.
     """
 
     features: int
@@ -69,6 +96,7 @@ class Conv(fnn.Module):
     pad_mode: str = "zeros"  # 'zeros' | 'replicate' | 'reflect'
     kernel_init: Callable = tinit.torch_default_kernel
     bias_init: Optional[Callable] = None  # default: torch U(+-1/sqrt(fan_in))
+    modalities: int = 1  # M>1: packed block-diagonal form (see docstring)
     dtype: Dtype = None  # compute dtype; params stay float32
 
     @fnn.compact
@@ -83,14 +111,42 @@ class Conv(fnn.Module):
         dl = _tuple(self.dilation, nsp)
         in_ch = x.shape[-1]
         assert in_ch % self.groups == 0
-        kshape = (*ks, in_ch // self.groups, self.features)
-        fan_in = (in_ch // self.groups) * math.prod(ks)
+        m = self.modalities
+        if m > 1:
+            # packed modality-in-channels form: per-stream params, dense
+            # block-diagonal compute kernel
+            assert self.groups == 1 and in_ch % m == 0 and self.features % m == 0
+            ci, co = in_ch // m, self.features // m
+            kshape = (*ks, in_ch, self.features)
+            fan_in = ci * math.prod(ks)  # per-stream fan
 
-        kernel = self.param("kernel", self.kernel_init, kshape, jnp.float32)
-        bias = None
-        if self.use_bias:
-            b_init = self.bias_init or tinit.torch_default_bias(fan_in)
-            bias = self.param("bias", b_init, (self.features,), jnp.float32)
+            def m_kernel_init(rng, _shape, dtype):
+                keys = jax.random.split(rng, m)
+                return jax.vmap(
+                    lambda k: self.kernel_init(k, (*ks, ci, co), dtype)
+                )(keys)
+
+            kernel = self.param("kernel", m_kernel_init, None, jnp.float32)
+            kernel = _block_diag_kernel(kernel)
+            bias = None
+            if self.use_bias:
+                b_init = self.bias_init or tinit.torch_default_bias(fan_in)
+
+                def m_bias_init(rng, _shape, dtype):
+                    keys = jax.random.split(rng, m)
+                    return jax.vmap(lambda k: b_init(k, (co,), dtype))(keys)
+
+                bias = self.param("bias", m_bias_init, None, jnp.float32)
+                bias = bias.reshape(self.features)
+        else:
+            kshape = (*ks, in_ch // self.groups, self.features)
+            fan_in = (in_ch // self.groups) * math.prod(ks)
+
+            kernel = self.param("kernel", self.kernel_init, kshape, jnp.float32)
+            bias = None
+            if self.use_bias:
+                b_init = self.bias_init or tinit.torch_default_bias(fan_in)
+                bias = self.param("bias", b_init, (self.features,), jnp.float32)
 
         cdtype = self.dtype or x.dtype
         x = x.astype(cdtype)

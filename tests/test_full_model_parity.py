@@ -120,7 +120,7 @@ def test_state_dict_converts_to_full_param_tree(ref_model_and_output):
     model_t, x_np, _ = ref_model_and_output
     variables = mmvit4_variables_from_state_dict(model_t.state_dict())
 
-    jm = MMVit4(use_pallas=False, depth_mode="full")
+    jm = MMVit4(use_pallas=False, depth_mode="full", pack_stage1=False)
     expected = jax.eval_shape(
         lambda r, xx: jm.init({"params": r}, xx, False),
         jax.random.PRNGKey(0),
@@ -150,12 +150,40 @@ def test_full_forward_matches_reference(ref_model_and_output):
         "batch_stats": variables["batch_stats"],
     }
 
-    jm = MMVit4(use_pallas=False, depth_mode="full")
+    jm = MMVit4(use_pallas=False, depth_mode="full", pack_stage1=False)
     out = np.asarray(jm.apply(variables, jnp.asarray(x_np), False))
 
     assert out.shape == ref_out.shape == (1, 3, 1, 224, 224)
     # f32 end to end on both sides; the residual is op-order noise amplified
     # by the ~17 InstanceNorms (rsqrt of 128^3-element variances). Measured
     # max |diff| on the sigmoid outputs: 7.2e-4 (99.6% of elements < 2e-4).
+    np.testing.assert_allclose(out, ref_out, atol=1.5e-3, rtol=0)
+    assert float(np.abs(out - ref_out).mean()) < 5e-5
+
+
+def test_full_forward_matches_reference_packed(ref_model_and_output):
+    """The default (pack_stage1=True) config ALSO matches the torch
+    reference end-to-end: the packed stage 1 is the same math in a
+    block-diagonal layout (models/resnet3d.py PackedStage1)."""
+    import jax.numpy as jnp
+
+    from corrifnet_tpu.models.mmvit4 import MMVit4
+    from corrifnet_tpu.models.torch_import import mmvit4_variables_from_state_dict
+
+    model_t, x_np, ref_out = ref_model_and_output
+    variables = mmvit4_variables_from_state_dict(
+        model_t.state_dict(), pack_stage1=True
+    )
+    variables = {
+        "params": variables["params"],
+        "batch_stats": variables["batch_stats"],
+    }
+
+    jm = MMVit4(use_pallas=False, depth_mode="full", pack_stage1=True)
+    out = np.asarray(jm.apply(variables, jnp.asarray(x_np), False))
+
+    assert out.shape == ref_out.shape == (1, 3, 1, 224, 224)
+    # same tolerance rationale as the unpacked test; the packed layout
+    # only changes f32 reduction order
     np.testing.assert_allclose(out, ref_out, atol=1.5e-3, rtol=0)
     assert float(np.abs(out - ref_out).mean()) < 5e-5
