@@ -108,15 +108,17 @@ class MMVit4(fnn.Module):
                 name="packed_stage1",
             )(packed, train)
 
+            # split the packed channel axis (..., M*C) -> (..., M, C) and let
+            # vmap map over axis 4 in place — no materialized
+            # modality-leading transpose between stage 1 and layer2
             def unpack(t):
                 bb, dd, hh, ww, mc = t.shape
-                t = t.reshape(bb, dd, hh, ww, 3, mc // 3)
-                return jnp.moveaxis(t, 4, 0)
+                return t.reshape(bb, dd, hh, ww, 3, mc // 3)
 
             stage1 = (unpack(x1p), unpack(y1p))
             VEncoder = fnn.vmap(
                 ResNet3DEncoder,
-                in_axes=((0, 0), None),
+                in_axes=((4, 4), None),
                 out_axes=0,
                 variable_axes={"params": 0, "batch_stats": 0},
                 split_rngs={"params": True, "dropout": True},
