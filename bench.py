@@ -56,7 +56,7 @@ def bench_train_step(batch_size=8, chain=10, iters=3, rt_floor=0.0,
     of once per step, so the number tracks device compute."""
     from corrifnet_tpu.models.mmvit4 import MMVit4
     from corrifnet_tpu.train import (
-        init_state, make_optimizer, make_train_multi_step,
+        default_dropout_key, init_state, make_optimizer, make_train_multi_step,
     )
 
     model = MMVit4(
@@ -78,7 +78,7 @@ def bench_train_step(batch_size=8, chain=10, iters=3, rt_floor=0.0,
     imgs_k = jnp.broadcast_to(images[None], (chain, *images.shape))
     masks_k = jnp.broadcast_to(masks[None], (chain, *masks.shape))
     valid_k = jnp.ones((chain, batch_size), jnp.float32)
-    key = jax.random.PRNGKey(1)
+    key = default_dropout_key(1)
 
     state, ms = multi(state, imgs_k, masks_k, valid_k, 1e-4, key)  # compile
     _ = float(ms["loss"][-1])

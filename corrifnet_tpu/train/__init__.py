@@ -3,7 +3,12 @@ from corrifnet_tpu.train.checkpoint import (
     epoch_ckpt_name,
     final_ckpt_name,
 )
-from corrifnet_tpu.train.loop import test_model, train_model, validate
+from corrifnet_tpu.train.loop import (
+    default_dropout_key,
+    test_model,
+    train_model,
+    validate,
+)
 from corrifnet_tpu.train.schedule import step_lr, step_lr_reported
 from corrifnet_tpu.train.state import (
     TrainState,
@@ -18,6 +23,7 @@ __all__ = [
     "Checkpointer",
     "epoch_ckpt_name",
     "final_ckpt_name",
+    "default_dropout_key",
     "test_model",
     "train_model",
     "validate",

@@ -71,7 +71,9 @@ def run_variant(spec, floor, iters=12, warmup=2):
     t_init = time.perf_counter() - t0
 
     train_step = make_train_step(model, optimizer)
-    key = jax.random.PRNGKey(1)
+    # rng:rbg — dropout bits from the TPU hardware PRNG (RngBitGenerator)
+    # instead of software threefry (the default key impl)
+    key = jax.random.key(1, impl=spec.get("rng", "threefry2x32"))
     t0 = time.perf_counter()
     state, metrics = train_step(state, images, masks, valid, 1e-4, key)
     loss0 = float(metrics["loss"])

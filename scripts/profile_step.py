@@ -42,7 +42,8 @@ def build(batch, spec):
     optimizer = make_optimizer("Adam")
     state = init_state(model, jax.random.PRNGKey(0), images, optimizer)
     step = make_train_step(model, optimizer)
-    return step, state, (images, masks, valid)
+    key = jax.random.key(1, impl=spec.get("rng", "threefry2x32"))
+    return step, state, (images, masks, valid), key
 
 
 def main():
@@ -50,8 +51,7 @@ def main():
     spec = {}
     if len(sys.argv) > 2:
         spec = dict(kv.split(":") for kv in sys.argv[2].split(",") if kv)
-    step, state, (images, masks, valid) = build(batch, spec)
-    key = jax.random.PRNGKey(1)
+    step, state, (images, masks, valid), key = build(batch, spec)
 
     for _ in range(3):  # compile + warm
         state, m = step(state, images, masks, valid, 1e-4, key)
