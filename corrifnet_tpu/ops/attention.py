@@ -69,11 +69,13 @@ def _interpret():
     return pltpu.InterpretParams() if INTERPRET else False
 
 _Q_BLK = 256  # uniform across fwd/dq/dkv: the dropout mask tile is (q_blk, k_blk)
-_Q_BLK_LARGE = 128  # n > 1024: (q_blk, N) f32 temporaries must fit scoped
-# VMEM next to the dkv kernel's f32 accumulator carry (16MB limit at
-# n=2048 bf16, measured via the compile service).
+_Q_BLK_LARGE = 256  # n > 1024: the (q_blk, N) temporaries must fit scoped
+# VMEM next to the dk/dv f32 accumulator carries (16 MB limit at n=2048
+# bf16, measured via the compile service). 256 only fits because the
+# backward holds p/p_drop in bf16 and the dropout mask is a bf16 {0,1}
+# multiplier — 128 was the ceiling with f32 p and a compare mask.
 _K_BLK = 2048  # mask-tile width (the score rows themselves span all of N);
-# one whole-row PRNG call per query block (vs 4 reseed+concat at 512)
+# one whole-row PRNG call per query block (vs reseed+concat per sub-tile)
 
 _LOG2E = 1.4426950408889634
 _LANES = 128  # lse residual packing width (f32 lane tile)
@@ -121,15 +123,22 @@ def attention_xla(q, k, v, scale, dropout_rate=0.0, rng=None):
     return jnp.einsum("bhnm,bhmd->bhnd", p, v)
 
 
-def _keep_row(rate, seed_ref, qi, q_blk, n):
-    """Bernoulli(1-rate) keep mask for query block ``qi`` vs ALL keys,
-    assembled from (q_blk, k_blk) tiles. ``qi`` may be a traced loop index;
-    the key-block index is a static int; the row coordinate lives in the
-    seed operand itself — identical bits in the forward and both backward
-    kernels, under vmap or not. Mosaic caps prng_seed at 2 words, so tile
-    coordinates mix into the second."""
+def _keep_mult(rate, seed_ref, qi, q_blk, n, dtype):
+    """Bernoulli(1-rate) keep mask for query block ``qi`` vs ALL keys as an
+    EXACT {0, 1} multiplier in ``dtype`` (both values are representable in
+    bf16, and x*1 / x*0 are exact in any dtype — so masking by multiply is
+    bitwise-identical to a where(), at half the scoped-VMEM residency of a
+    compare mask). Assembled from (q_blk, k_blk) PRNG tiles. ``qi`` may be
+    a traced loop index; the key-block index is a static int; the row
+    coordinate lives in the seed operand itself — identical bits in the
+    forward and backward kernels, under vmap or not. Mosaic caps prng_seed
+    at 2 words, so tile coordinates mix into the second."""
     k_blk = _blk(n, _K_BLK)
-    thresh = np.uint32(min(int(rate * 4294967296.0), 4294967295))
+    # 31-bit threshold: Mosaic cannot relayout wide i1 vectors next to the
+    # bf16 consumers (observed relayout error), so the compare is done in
+    # integer arithmetic — drop the PRNG word's top bit, then
+    # (b31 - t31) >> 31 is 1 exactly when b31 < t31 (the borrow bit).
+    t31 = np.int32(min(int(rate * 4294967296.0), 4294967295) >> 1)
     qmix = jnp.asarray(qi, jnp.uint32) * np.uint32(7919)
     tiles = []
     for kj in range(n // k_blk):
@@ -137,9 +146,11 @@ def _keep_row(rate, seed_ref, qi, q_blk, n):
             seed_ref[0, 0, 0], seed_ref[0, 0, 1] + qmix + np.uint32(kj)
         )
         bits = pltpu.bitcast(
-            pltpu.prng_random_bits((q_blk, k_blk)), jnp.uint32
+            pltpu.prng_random_bits((q_blk, k_blk)), jnp.int32
         )
-        tiles.append(bits >= thresh)
+        b31 = jax.lax.shift_right_logical(bits, np.int32(1))
+        drop = jax.lax.shift_right_logical(b31 - t31, np.int32(31))
+        tiles.append((np.int32(1) - drop).astype(dtype))
     return tiles[0] if len(tiles) == 1 else jnp.concatenate(tiles, axis=1)
 
 
@@ -206,8 +217,9 @@ def _fwd_kernel(scale, rate, q_blk, q_ref, k_ref, v_ref, seed_ref, o_ref,
             lrows = pl.ds(qi * (q_blk // _LANES), q_blk // _LANES)
             lse_ref[0, lrows, :] = _col_to_rows(lse2)
         if rate > 0.0:
-            keep = _keep_row(rate, seed_ref, qi, q_blk, n)
-            p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0).astype(v.dtype)
+            mult = _keep_mult(rate, seed_ref, qi, q_blk, n, v.dtype)
+            inv = np.float32(1.0 / (1.0 - rate))
+            p = (p.astype(jnp.float32) * inv).astype(v.dtype) * mult
         o_ref[0, rows, :] = jnp.dot(
             p, v, preferred_element_type=jnp.float32
         ).astype(o_ref.dtype)
@@ -299,15 +311,23 @@ def _bwd_kernel(scale, rate, q_blk, use_lse, q_ref, k_ref, v_ref, do_ref,
                  * o_ref[0, rows, :].astype(jnp.float32)).sum(
             axis=-1, keepdims=True
         )
+        # p in the value dtype from here on: the forward itself rounds p
+        # for the PV matmul, so bf16 p is the *consistent* operand for
+        # dv/ds — and it halves two (q_blk, N) residencies, which is what
+        # lets q_blk=256 fit scoped VMEM alongside the dropout mask.
+        p = p.astype(v.dtype)
         if rate > 0.0:
-            # regenerate exactly the forward's mask row for block qi
-            keep = _keep_row(rate, seed_ref, qi, q_blk, n)
+            # regenerate exactly the forward's {0,1} multiplier for block
+            # qi; the masked products are bitwise equal to the forward's
+            # (multiply by exact 0/1), elementwise-fused so no extra f32
+            # array materializes
+            mult = _keep_mult(rate, seed_ref, qi, q_blk, n, v.dtype)
             inv = np.float32(1.0 / (1.0 - rate))
-            p_drop = jnp.where(keep, p * inv, 0.0)
-            dp = jnp.where(keep, dp * inv, 0.0)
+            p_drop = (p.astype(jnp.float32) * inv).astype(v.dtype) * mult
+            dp = dp * inv * mult.astype(jnp.float32)
         else:
             p_drop = p
-        ds = p * (dp - delta)  # (q_blk, N) f32; scale folded into ks / dk
+        ds = p.astype(jnp.float32) * (dp - delta)  # scale folded into ks/dk
         dq_ref[0, rows, :] = jnp.dot(
             ds.astype(k.dtype), ks, preferred_element_type=jnp.float32
         ).astype(dq_ref.dtype)
