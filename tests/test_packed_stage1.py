@@ -144,3 +144,42 @@ def test_grads_flow_through_packed_params():
         assert np.isfinite(np.asarray(leaf)).all(), path
     nonzero = [float(np.abs(np.asarray(l)).max()) for _, l in leaves]
     assert all(nz > 0 for nz in nonzero), nonzero
+
+
+def test_packed_conv_bias_matches_separate_convs():
+    """Conv(modalities=M) with bias == M independent Convs with the same
+    per-stream params (the stage-1 convs are bias-free; this covers the
+    general path)."""
+    from corrifnet_tpu.nn import Conv
+
+    M, ci, co = 3, 8, 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 10, M * ci))
+    packed = Conv(M * co, 3, padding=1, modalities=M)
+    v = packed.init(jax.random.PRNGKey(1), x)
+    y = packed.apply(v, x)
+    assert y.shape == (2, 10, 10, M * co)
+
+    single = Conv(co, 3, padding=1)
+    for mi in range(M):
+        vs = {"params": {
+            "kernel": v["params"]["kernel"][mi],
+            "bias": v["params"]["bias"][mi],
+        }}
+        ym = single.apply(vs, x[..., mi * ci:(mi + 1) * ci])
+        np.testing.assert_allclose(
+            np.asarray(y[..., mi * co:(mi + 1) * co]), np.asarray(ym),
+            atol=1e-5, rtol=1e-5,
+        )
+
+
+def test_default_dropout_key_env_override(monkeypatch):
+    from corrifnet_tpu.train import default_dropout_key
+
+    monkeypatch.setenv("CORRIFNET_RNG_IMPL", "threefry2x32")
+    k = default_dropout_key(7)
+    assert str(jax.random.key_impl(k)) == "threefry2x32"
+    monkeypatch.setenv("CORRIFNET_RNG_IMPL", "rbg")
+    k2 = default_dropout_key(7)
+    assert str(jax.random.key_impl(k2)) == "rbg"
+    # keys are usable by the flax dropout machinery
+    jax.random.bernoulli(jax.random.fold_in(k2, 3), 0.5, (4, 4))
