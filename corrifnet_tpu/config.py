@@ -51,6 +51,7 @@ class ExperimentConfig:
     seed: int = 0
     transfer_checkpoint: Optional[str] = None  # warm start (transfertype=yestr)
     mesh_shape: Optional[list] = None   # [data, model] for SPMD training
+    chain_steps: int = 1                # optimizer steps per device dispatch
 
     @property
     def jax_dtype(self):

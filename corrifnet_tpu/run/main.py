@@ -159,6 +159,7 @@ def run_experiment(cfg: ExperimentConfig, run_root=".", index: int = 0):
         logs=logs, ckpt=ckpt, i=index, rng=rng,
         val_from_checkpoint=cfg.val_from_checkpoint,
         mesh=mesh,
+        chain_steps=cfg.chain_steps,
     )
 
     test_loss, test_jac, fps, first_outputs = test_model(

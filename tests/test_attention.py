@@ -203,3 +203,29 @@ def test_fused_attention_under_vmap_interpret():
         )(a, k, v).sum()
     )(q)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gx), atol=2e-3)
+
+
+def test_fused_backward_no_lse_fallback_matches_xla(monkeypatch):
+    """CORRIFNET_ATTN_LSE=0 takes the full-softmax-recompute backward (the
+    fallback for shapes the packed residual can't represent, and the
+    workaround for the B=16 remote-compile limit) — grads must still match
+    the XLA composition."""
+    monkeypatch.setenv("CORRIFNET_ATTN_LSE", "0")
+    q, k, v = _qkv((1, 2, 256, 64), seed=9)
+    scale = 64 ** -0.5
+    attn_mod.INTERPRET = True
+    try:
+        gf = jax.grad(
+            lambda q, k, v: (fused_attention(q, k, v, scale) ** 2).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+    finally:
+        attn_mod.INTERPRET = False
+    gx = jax.grad(
+        lambda q, k, v: (attention_xla(q, k, v, scale) ** 2).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-2, rtol=2e-3
+        )

@@ -291,3 +291,31 @@ def test_multi_step_matches_sequential_single_steps(setup):
             np.asarray(seq_metrics[i]["jaccard"]), np.asarray(ms["jaccard"])[i],
             rtol=1e-4,
         )
+
+
+def test_chain_steps_matches_single_dispatch(setup, tmp_path):
+    """chain_steps=2 (multi-step dispatch) reproduces the K=1 loop's
+    training history on a dropout-free model: the RNG stream only feeds
+    dropout, so chained and single runs see identical math up to the
+    scanned program's f32 reassociation (state.py multi-step contract)."""
+    data, model, optimizer, state, lim = setup
+    trind, vlind = np.arange(8), np.arange(8, 10)
+
+    def run(st, k):
+        return train_model(
+            model, st, optimizer,
+            n_epochs=2, learn_rate=1e-3, step_size=5, gamma=0.9,
+            images=data.images, masks=data.masks, trind=trind, vlind=vlind,
+            batch_size=3,  # 8 samples / 3 -> chunks of 2 + a tail batch
+            lim=lim, logs=None, ckpt=None,
+            val_from_checkpoint=False, checkpoint_every_epoch=False,
+            rng=jax.random.PRNGKey(5), chain_steps=k,
+        )
+
+    _, hist1 = run(state, 1)
+    state_b = init_state(
+        model, jax.random.PRNGKey(0), jnp.asarray(data.images[:2]), optimizer
+    )
+    _, hist2 = run(state_b, 2)
+    for key in ("train_loss", "train_jac", "val_loss", "val_jac"):
+        np.testing.assert_allclose(hist1[key], hist2[key], rtol=2e-5, atol=2e-6)
