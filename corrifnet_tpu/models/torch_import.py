@@ -29,7 +29,10 @@ from typing import Dict, Mapping, Tuple
 
 import numpy as np
 
-__all__ = ["mmvit4_variables_from_state_dict"]
+__all__ = [
+    "mmvit4_variables_from_state_dict",
+    "mmvit2_variables_from_state_dict",
+]
 
 _MODALITIES = ("RGB", "NIR", "SWIR")
 _LAYER_BLOCKS = {1: 3, 2: 4, 3: 6, 4: 3}  # torchvision resnet50
@@ -174,12 +177,11 @@ def _fusion_prenorm(sd, key) -> Dict:
     }
 
 
-def _decoder(sd) -> Dict:
+def _decoder(sd, use_reduce: bool = True) -> Dict:
     d = "decoder_fuse"
-    out: Dict = {
-        "RFM5_reduce": _conv(sd, f"{d}.RFM5_reduce"),
-        "final_conv": _conv(sd, f"{d}.final_conv"),
-    }
+    out: Dict = {"final_conv": _conv(sd, f"{d}.final_conv")}
+    if use_reduce:
+        out["RFM5_reduce"] = _conv(sd, f"{d}.RFM5_reduce")
     for i in range(1, 6):
         out[f"RFM{i}"] = _fusion_prenorm(sd, f"{d}.RFM{i}")
     for name in (
@@ -188,6 +190,69 @@ def _decoder(sd) -> Dict:
     ):
         out[name] = _general_conv(sd, f"{d}.{name}")
     return out
+
+
+def _mm2_encoder(sd, prefix) -> Dict:
+    """One reference conv Encoder (mmmvit2.py:57-104) -> ConvEncoder params.
+
+    ``e1_c1`` is a bare biased Conv3d; every other stage conv is a
+    general_conv3d_prenorm (InstanceNorm carries no parameters). The
+    reference's bottleneck 1x1 is attribute ``conv``; ours is ``conv6``."""
+    params: Dict = {"e1_c1": _conv(sd, f"{prefix}.e1_c1")}
+    for si in range(1, 6):
+        for ci in (1, 2, 3):
+            if si == 1 and ci == 1:
+                continue
+            params[f"e{si}_c{ci}"] = _general_conv(sd, f"{prefix}.e{si}_c{ci}")
+    params["conv6"] = _conv(sd, f"{prefix}.conv")
+    return params
+
+
+def mmvit2_variables_from_state_dict(
+    state_dict: Mapping, mmformer: bool = False
+) -> Dict:
+    """Reference MMVit2 (mmmvit2.py:345-477) or mmformer (mmformer.py:349-
+    435) ``state_dict`` -> :class:`corrifnet_tpu.models.mmvit2.MMVit2` /
+    ``MMFormer`` ``variables`` pytree.
+
+    The two reference files are byte-identical apart from the correlation
+    stage; mmformer's state_dict simply lacks the ``qkv_{RGB,NIR,SWIR}``
+    convs. With ``mmformer=True`` those leaves are filled with zeros — the
+    rebuild's ``_IntraStream`` always declares them, but with
+    ``use_correlation=False`` their outputs are dead (DCE'd under jit).
+
+    No batch_stats collection: every norm in this model family is a
+    parameter-free InstanceNorm."""
+    sd = dict(state_dict)
+    tdim = int(_np(sd["RGB_pos"]).shape[-1])
+
+    enc_p, stream_p = [], []
+    for m in _MODALITIES:
+        enc_p.append(_mm2_encoder(sd, f"{m}_encoder"))
+        if mmformer:
+            qkv = {
+                "kernel": np.zeros((tdim, tdim * 3), np.float32),
+                "bias": np.zeros((tdim * 3,), np.float32),
+            }
+        else:
+            qkv = _dense(sd, f"qkv_{m}")
+        stream_p.append(
+            {
+                "encode_conv": _dense(sd, f"{m}_encode_conv"),
+                "transformer": _transformer(sd, f"{m}_transformer"),
+                "qkv": qkv,
+            }
+        )
+
+    params: Dict = {
+        "encoders": _stack_trees(enc_p),
+        "modality_stream": _stack_trees(stream_p),
+        "modality_pos": np.stack([_np(sd[f"{m}_pos"]) for m in _MODALITIES]),
+        "multimodal_transformer": _transformer(sd, "multimodal_transformer"),
+        "multimodal_decode_conv": _dense(sd, "multimodal_decode_conv"),
+        "decoder": _decoder(sd, use_reduce=False),
+    }
+    return {"params": params}
 
 
 def mmvit4_variables_from_state_dict(
