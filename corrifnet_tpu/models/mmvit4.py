@@ -92,6 +92,7 @@ class MMVit4(fnn.Module):
     remat_mode: str = "all"  # encoder scan remat: 'all' | 'early' | 'none'
     scan_unroll: int = 1  # encoder tail-scan unroll factor; 0 = full unroll
     pack_stage1: bool = True  # stem+layer1 modality-packed (see PackedStage1)
+    fuse_expand_bn: bool = False  # fold bn3/down_bn into convs (nn/fusedbn.py)
 
     @fnn.compact
     def __call__(self, x, train: bool = False):
@@ -104,7 +105,8 @@ class MMVit4(fnn.Module):
             # the per-modality vmapped form where widths >=128 take over.
             packed = jnp.transpose(x, (0, 2, 3, 4, 1)).astype(cdtype)
             x1p, y1p = PackedStage1(
-                modalities=3, remat_mode=self.remat_mode, dtype=self.dtype,
+                modalities=3, remat_mode=self.remat_mode,
+                fuse_expand_bn=self.fuse_expand_bn, dtype=self.dtype,
                 name="packed_stage1",
             )(packed, train)
 
@@ -125,7 +127,8 @@ class MMVit4(fnn.Module):
             )
             e1, e2, e3, e4, e5, e6 = VEncoder(
                 remat_mode=self.remat_mode, scan_unroll=self.scan_unroll,
-                skip_stage1=True, dtype=self.dtype, name="encoders"
+                skip_stage1=True, fuse_expand_bn=self.fuse_expand_bn,
+                dtype=self.dtype, name="encoders"
             )(stage1, train)
         else:
             # (B, M, C, H, W) -> stacked channels-last volumes
@@ -141,6 +144,7 @@ class MMVit4(fnn.Module):
             )
             e1, e2, e3, e4, e5, e6 = VEncoder(
                 remat_mode=self.remat_mode, scan_unroll=self.scan_unroll,
+                fuse_expand_bn=self.fuse_expand_bn,
                 dtype=self.dtype, name="encoders"
             )(vol, train)
 

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from flax import linen as fnn
 
 from corrifnet_tpu.nn import BatchNorm, Conv, max_pool, resize_linear
+from corrifnet_tpu.nn.fusedbn import fused_pointwise_conv_bn
 from corrifnet_tpu.nn import init as tinit
 
 __all__ = ["ResNet3DEncoder", "PackedStage1", "pack_stage1_variables", "BASIC_DIMS"]
@@ -54,6 +55,7 @@ class Bottleneck3D(fnn.Module):
     stride: int = 1
     has_downsample: bool = False
     modalities: int = 1
+    fuse_expand_bn: bool = False  # fold bn3/down_bn into their convs
     dtype: Dtype = None
 
     @fnn.compact
@@ -75,20 +77,40 @@ class Bottleneck3D(fnn.Module):
         )(y)
         y = BatchNorm(dtype=self.dtype, name="bn2")(y, use_running_average=not train)
         y = jax.nn.relu(y)
-        y = Conv(
-            out_ch, (1, 1, 1), use_bias=False, modalities=m,
-            kernel_init=tinit.kaiming_normal, dtype=self.dtype, name="conv3",
-        )(y)
-        y = BatchNorm(dtype=self.dtype, name="bn3")(y, use_running_average=not train)
-        if self.has_downsample:
-            identity = Conv(
-                out_ch, (1, 1, 1), strides=(1, self.stride, self.stride),
-                use_bias=False, modalities=m, kernel_init=tinit.kaiming_normal,
-                dtype=self.dtype, name="down_conv",
-            )(x)
-            identity = BatchNorm(dtype=self.dtype, name="down_bn")(
-                identity, use_running_average=not train
+        if self.fuse_expand_bn:
+            # expanding pointwise convs (cin -> 4*width): BN folded into the
+            # conv weights with input-side Gram statistics — the two largest
+            # BN tensors in the block are never touched unnormalized, and
+            # the residual add + relu fuse into the conv epilogue
+            # (nn/fusedbn.py; same pytree, same math up to f32 reassociation)
+            y = fused_pointwise_conv_bn(
+                y, out_ch, conv_name="conv3", bn_name="bn3", train=train,
+                modalities=m, kernel_init=tinit.kaiming_normal,
+                dtype=self.dtype,
             )
+        else:
+            y = Conv(
+                out_ch, (1, 1, 1), use_bias=False, modalities=m,
+                kernel_init=tinit.kaiming_normal, dtype=self.dtype, name="conv3",
+            )(y)
+            y = BatchNorm(dtype=self.dtype, name="bn3")(y, use_running_average=not train)
+        if self.has_downsample:
+            if self.fuse_expand_bn:
+                identity = fused_pointwise_conv_bn(
+                    x, out_ch, conv_name="down_conv", bn_name="down_bn",
+                    train=train, strides=(1, self.stride, self.stride),
+                    modalities=m, kernel_init=tinit.kaiming_normal,
+                    dtype=self.dtype,
+                )
+            else:
+                identity = Conv(
+                    out_ch, (1, 1, 1), strides=(1, self.stride, self.stride),
+                    use_bias=False, modalities=m, kernel_init=tinit.kaiming_normal,
+                    dtype=self.dtype, name="down_conv",
+                )(x)
+                identity = BatchNorm(dtype=self.dtype, name="down_bn")(
+                    identity, use_running_average=not train
+                )
         return jax.nn.relu(y + identity)
 
 
@@ -97,12 +119,14 @@ class _TailBody(fnn.Module):
 
     width: int
     train: bool
+    fuse_expand_bn: bool = False
     dtype: Dtype = None
 
     @fnn.compact
     def __call__(self, x, _):
         y = Bottleneck3D(
-            width=self.width, stride=1, has_downsample=False, dtype=self.dtype,
+            width=self.width, stride=1, has_downsample=False,
+            fuse_expand_bn=self.fuse_expand_bn, dtype=self.dtype,
             name="block",
         )(x, self.train)
         return y, None
@@ -116,6 +140,7 @@ class _BottleneckTail(fnn.Module):
     train: bool
     remat_mode: str = "all"  # 'all' | 'early' (only widths <= 128) | 'none'
     scan_unroll: int = 1  # lax.scan unroll factor; 0 = fully unrolled
+    fuse_expand_bn: bool = False
     dtype: Dtype = None
 
     @fnn.compact
@@ -147,7 +172,8 @@ class _BottleneckTail(fnn.Module):
             unroll=min(unroll, self.n),
         )
         y, _ = Scanned(
-            width=self.width, train=self.train, dtype=self.dtype, name="blocks"
+            width=self.width, train=self.train,
+            fuse_expand_bn=self.fuse_expand_bn, dtype=self.dtype, name="blocks"
         )(x, None)
         return y
 
@@ -159,13 +185,15 @@ class _PackedTailBlock(fnn.Module):
     width: int
     train: bool
     modalities: int
+    fuse_expand_bn: bool = False
     dtype: Dtype = None
 
     @fnn.compact
     def __call__(self, x):
         return Bottleneck3D(
             width=self.width, stride=1, has_downsample=False,
-            modalities=self.modalities, dtype=self.dtype, name="block",
+            modalities=self.modalities, fuse_expand_bn=self.fuse_expand_bn,
+            dtype=self.dtype, name="block",
         )(x, self.train)
 
 
@@ -194,6 +222,7 @@ class PackedStage1(fnn.Module):
 
     modalities: int = 3
     remat_mode: str = "all"  # remat tail blocks (matches _BottleneckTail)
+    fuse_expand_bn: bool = False
     dtype: Dtype = None
 
     @fnn.compact
@@ -218,11 +247,13 @@ class PackedStage1(fnn.Module):
             )
         y = Bottleneck3D(
             width=width, stride=1, has_downsample=True, modalities=m,
-            dtype=self.dtype, name="layer1_block0",
+            fuse_expand_bn=self.fuse_expand_bn, dtype=self.dtype,
+            name="layer1_block0",
         )(x1, train)
         for bi in range(1, blocks):
             y = Tail(
                 width=width, train=train, modalities=m,
+                fuse_expand_bn=self.fuse_expand_bn,
                 dtype=self.dtype, name=f"layer1_b{bi}",
             )(y)
         return x1, y
@@ -293,6 +324,7 @@ class ResNet3DEncoder(fnn.Module):
     remat_mode: str = "all"  # see _BottleneckTail
     scan_unroll: int = 1  # see _BottleneckTail
     skip_stage1: bool = False
+    fuse_expand_bn: bool = False  # see Bottleneck3D
     dtype: Dtype = None
 
     @fnn.compact
@@ -321,6 +353,7 @@ class ResNet3DEncoder(fnn.Module):
                 width=width,
                 stride=2 if li > 0 else 1,
                 has_downsample=True,
+                fuse_expand_bn=self.fuse_expand_bn,
                 dtype=self.dtype,
                 name=f"layer{li + 1}_block0",
             )(y, train)
@@ -333,6 +366,7 @@ class ResNet3DEncoder(fnn.Module):
                     train=train,
                     remat_mode=self.remat_mode,
                     scan_unroll=self.scan_unroll,
+                    fuse_expand_bn=self.fuse_expand_bn,
                     dtype=self.dtype,
                     name=f"layer{li + 1}_tail",
                 )(y)
