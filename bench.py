@@ -83,12 +83,20 @@ def bench_train_step(batch_size=8, chain=10, iters=3, rt_floor=0.0,
     state, ms = multi(state, imgs_k, masks_k, valid_k, 1e-4, key)  # compile
     _ = float(ms["loss"][-1])
 
+    # One-deep pipeline (matches train/loop.py): dispatch chain i, then
+    # fetch chain i-1's loss — the device computes during the host round
+    # trip. Every chain is still synced by a host value fetch; only the
+    # FINAL fetch's round trip is unoverlapped, so subtract rt_floor once.
     t0 = time.perf_counter()
+    prev = None
     for _ in range(iters):
         state, ms = multi(state, imgs_k, masks_k, valid_k, 1e-4, key)
-        _ = float(ms["loss"][-1])  # hard sync: host fetch per chain
+        if prev is not None:
+            _ = float(prev["loss"][-1])
+        prev = ms
+    _ = float(prev["loss"][-1])
     total = time.perf_counter() - t0
-    compute = max(total - iters * rt_floor, 1e-9)
+    compute = max(total - rt_floor, 1e-9)
     return batch_size * chain * iters / compute
 
 

@@ -202,8 +202,31 @@ def train_model(
             jI += jac * batch_load
             total += batch_load
 
+        # One-deep metric pipeline: dispatch chunk i, THEN fetch chunk
+        # i-1's metrics to the host — the device computes i during the
+        # 30-40 ms tunnel round trip instead of idling. At most two
+        # un-synced dispatches are ever in flight (the axon attach
+        # tolerates ~5). Record order is unchanged.
+        inflight = None  # (device metrics, steps in the chunk)
+
+        def drain():
+            nonlocal inflight
+            if inflight is None:
+                return
+            ms, k = inflight
+            inflight = None
+            if k > 1:
+                losses = np.asarray(ms["loss"], np.float64)
+                jacs = np.asarray(ms["jaccard"], np.float64)
+                nvs = np.asarray(ms["n_valid"], np.float64)
+                for j in range(k):
+                    record(float(losses[j]), float(jacs[j]), float(nvs[j]))
+            else:
+                record(float(ms["loss"]), float(ms["jaccard"]),
+                       float(ms["n_valid"]))
+
         def run_chunk(chunk):
-            nonlocal state, epoch_rng
+            nonlocal state, epoch_rng, inflight
             epoch_rng, sub = jax.random.split(epoch_rng)
             if multi_step is not None and len(chunk) > 1:
                 state, ms = multi_step(
@@ -214,17 +237,15 @@ def train_model(
                     lr,
                     sub,
                 )
-                losses = np.asarray(ms["loss"], np.float64)
-                jacs = np.asarray(ms["jaccard"], np.float64)
-                nvs = np.asarray(ms["n_valid"], np.float64)
-                for j in range(len(chunk)):
-                    record(float(losses[j]), float(jacs[j]), float(nvs[j]))
+                k = len(chunk)
             else:
                 (b,) = chunk
-                state, m = train_step(
+                state, ms = train_step(
                     state, b.images, b.masks, b.valid, lr, sub
                 )
-                record(float(m["loss"]), float(m["jaccard"]), float(m["n_valid"]))
+                k = 1
+            drain()  # previous chunk's metrics, while this one executes
+            inflight = (ms, k)
 
         pending = []
         for batch in device_prefetch(
@@ -239,6 +260,7 @@ def train_model(
                 pending = []
         for b in pending:  # tail: padded shapes match, but run singly
             run_chunk([b])
+        drain()
 
         train_loss = float(np.mean(batch_losses))
         train_jac = jI / total
