@@ -71,8 +71,13 @@ def _run_eval(eval_step, params, batch_stats, images, masks, indices, batch_size
         )
     losses, jI, total = [], 0.0, 0.0
     first_outputs = None
-    for batch in make_batches(images, masks, indices, batch_size):
-        m = eval_step(params, batch_stats, batch.images, batch.masks, batch.valid)
+    prev = None  # one-deep pipeline: fetch batch i-1 while i executes
+
+    def drain():
+        nonlocal jI, total, first_outputs, prev
+        if prev is None:
+            return
+        m, prev = prev, None
         losses.append(float(m["loss"]))
         n_valid = float(m["n_valid"])
         batch_load = n_valid * lim * lim
@@ -80,6 +85,12 @@ def _run_eval(eval_step, params, batch_stats, images, masks, indices, batch_size
         total += batch_load
         if first_outputs is None:
             first_outputs = np.asarray(m["outputs"])
+
+    for batch in make_batches(images, masks, indices, batch_size):
+        m = eval_step(params, batch_stats, batch.images, batch.masks, batch.valid)
+        drain()
+        prev = m
+    drain()
     return float(np.mean(losses)), jI / total, first_outputs
 
 
