@@ -34,6 +34,7 @@ def build(batch, spec):
         depth_mode=spec.get("depth", "pruned"),
         remat_mode=spec.get("remat", "all"),
         scan_unroll=int(spec.get("unroll", 1)),
+        fuse_expand_bn=spec.get("fusebn", "0") == "1",
     )
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.normal(0, 1, (batch, 3, 3, 224, 224)).astype(np.float32))
