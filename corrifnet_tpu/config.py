@@ -51,7 +51,9 @@ class ExperimentConfig:
     seed: int = 0
     transfer_checkpoint: Optional[str] = None  # warm start (transfertype=yestr)
     mesh_shape: Optional[list] = None   # [data, model] for SPMD training
-    chain_steps: int = 1                # optimizer steps per device dispatch
+    chain_steps: int = 1   # optimizer steps per device dispatch (single-
+                           # device only: ignored, with a warning, if
+                           # mesh_shape is also set)
 
     @property
     def jax_dtype(self):

@@ -33,6 +33,7 @@ from corrifnet_tpu.nn import init as tinit
 from corrifnet_tpu.nn.norm import BatchNorm, GroupNorm, InstanceNorm
 
 __all__ = [
+    "packed_kernel_init",
     "Conv",
     "ConvTranspose",
     "Dense",
@@ -50,6 +51,20 @@ def _tuple(v, n):
         assert len(v) == n, (v, n)
         return tuple(v)
     return (v,) * n
+
+
+def packed_kernel_init(kernel_init, ks, ci, co, m):
+    """Initializer for the packed modality-in-channels form: per-stream
+    (M, *ks, ci, co) leaves drawn exactly as M separate convs would draw
+    them (rng split M ways, same per-stream shapes). Shared by ``Conv``
+    and the BN-folded path (nn/fusedbn.py) so the rng/init contract lives
+    in one place."""
+
+    def init(rng, _shape, dtype):
+        keys = jax.random.split(rng, m)
+        return jax.vmap(lambda k: kernel_init(k, (*ks, ci, co), dtype))(keys)
+
+    return init
 
 
 def _block_diag_kernel(k):
@@ -120,13 +135,10 @@ class Conv(fnn.Module):
             kshape = (*ks, in_ch, self.features)
             fan_in = ci * math.prod(ks)  # per-stream fan
 
-            def m_kernel_init(rng, _shape, dtype):
-                keys = jax.random.split(rng, m)
-                return jax.vmap(
-                    lambda k: self.kernel_init(k, (*ks, ci, co), dtype)
-                )(keys)
-
-            kernel = self.param("kernel", m_kernel_init, None, jnp.float32)
+            kernel = self.param(
+                "kernel", packed_kernel_init(self.kernel_init, ks, ci, co, m),
+                None, jnp.float32,
+            )
             kernel = _block_diag_kernel(kernel)
             bias = None
             if self.use_bias:

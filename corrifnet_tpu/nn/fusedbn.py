@@ -40,13 +40,13 @@ biased one (mmvit4.py bottleneck bn1-3/downsample, nn/norm.py BatchNorm).
 
 from __future__ import annotations
 
-import math
 from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as fnn
-from jax.ad_checkpoint import checkpoint_name
+
+from corrifnet_tpu.nn.norm import bn_fold, bn_update_running
 
 __all__ = ["fused_pointwise_conv_bn"]
 
@@ -67,17 +67,15 @@ class _ConvKernel(fnn.Module):
 
     @fnn.compact
     def __call__(self):
+        from corrifnet_tpu.nn.conv import packed_kernel_init
+
         ks, m = tuple(self.kernel_size), self.modalities
         if m > 1:
             ci, co = self.in_ch // m, self.features // m
-
-            def m_kernel_init(rng, _shape, dtype):
-                keys = jax.random.split(rng, m)
-                return jax.vmap(
-                    lambda k: self.kernel_init(k, (*ks, ci, co), dtype)
-                )(keys)
-
-            return self.param("kernel", m_kernel_init, None, jnp.float32)
+            return self.param(
+                "kernel", packed_kernel_init(self.kernel_init, ks, ci, co, m),
+                None, jnp.float32,
+            )
         kshape = (*ks, self.in_ch, self.features)
         return self.param("kernel", self.kernel_init, kshape, jnp.float32)
 
@@ -104,15 +102,10 @@ class _BNParams(fnn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         elif not self.is_initializing():
-            unbiased = var * (n / max(n - 1, 1))
-            mom = self.momentum
-            ra_mean.value = (1 - mom) * ra_mean.value + mom * mean
-            ra_var.value = (1 - mom) * ra_var.value + mom * unbiased
-        a = scale * jax.lax.rsqrt(var + self.epsilon)
-        b = bias - mean * a
-        # saved by the encoder remat policy (models/resnet3d.py): backward
-        # recompute skips the Gram/stat math entirely
-        return checkpoint_name(a, "bn_stats"), checkpoint_name(b, "bn_stats")
+            bn_update_running(ra_mean, ra_var, mean, var, n, self.momentum)
+        # bn_fold names a/b 'bn_stats': the encoder remat policy saves them,
+        # so backward recompute skips the Gram/stat math entirely
+        return bn_fold(scale, bias, mean, var, self.epsilon)
 
 
 def _input_side_stats(x2, wf, m):

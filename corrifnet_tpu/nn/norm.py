@@ -40,9 +40,28 @@ import jax.numpy as jnp
 from flax import linen as fnn
 from jax.ad_checkpoint import checkpoint_name
 
-__all__ = ["BatchNorm", "InstanceNorm", "GroupNorm", "LayerNorm"]
+__all__ = ["BatchNorm", "InstanceNorm", "GroupNorm", "LayerNorm",
+           "bn_fold", "bn_update_running"]
 
 Dtype = Any
+
+
+def bn_fold(scale, bias, mean, var, eps):
+    """Fold BN stats + affine into per-channel ``y = x*a + b`` vectors,
+    named 'bn_stats' so the encoder remat policy saves them (backward
+    recompute then skips the stat reductions). Shared by BatchNorm and the
+    conv-folded path (nn/fusedbn.py) so the quirks live in one place."""
+    a = scale * jax.lax.rsqrt(var + eps)
+    b = bias - mean * a
+    return checkpoint_name(a, "bn_stats"), checkpoint_name(b, "bn_stats")
+
+
+def bn_update_running(ra_mean, ra_var, mean, var, n, momentum):
+    """Torch-parity running update: running_var takes the UNBIASED batch
+    variance while normalization uses the biased one (both quirks)."""
+    unbiased = var * (n / max(n - 1, 1))
+    ra_mean.value = (1 - momentum) * ra_mean.value + momentum * mean
+    ra_var.value = (1 - momentum) * ra_var.value + momentum * unbiased
 
 
 class BatchNorm(fnn.Module):
@@ -85,18 +104,9 @@ class BatchNorm(fnn.Module):
                 n = 1
                 for ax in reduce_axes:
                     n *= x.shape[ax]
-                unbiased = var * (n / max(n - 1, 1))
-                m = self.momentum
-                ra_mean.value = (1 - m) * ra_mean.value + m * mean
-                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+                bn_update_running(ra_mean, ra_var, mean, var, n, self.momentum)
 
-        a = scale * jax.lax.rsqrt(var + self.epsilon)
-        b = bias - mean * a
-        # Named so the encoder remat policy can SAVE these (C,)-sized
-        # vectors: the backward then skips recomputing the stat reductions
-        # entirely (models/resnet3d.py remat policy).
-        a = checkpoint_name(a, "bn_stats")
-        b = checkpoint_name(b, "bn_stats")
+        a, b = bn_fold(scale, bias, mean, var, self.epsilon)
         dt = self.dtype or x.dtype
         # compute-dtype fma (see module docstring for the measured trade-off)
         return x.astype(dt) * a.astype(dt) + b.astype(dt)

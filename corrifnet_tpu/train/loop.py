@@ -182,7 +182,15 @@ def train_model(
         batch_sh = batch_sharding(mesh)
     train_step = make_train_step(model, optimizer)
     multi_step = None
-    if chain_steps > 1 and mesh is None:
+    if chain_steps > 1 and mesh is not None:
+        import warnings
+
+        warnings.warn(
+            "chain_steps is single-device only and is ignored when a mesh "
+            "is configured — running one optimizer step per dispatch",
+            stacklevel=2,
+        )
+    elif chain_steps > 1:
         from corrifnet_tpu.train.state import make_train_multi_step
 
         multi_step = make_train_multi_step(model, optimizer)
