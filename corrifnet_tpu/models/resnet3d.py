@@ -95,7 +95,12 @@ class Bottleneck3D(fnn.Module):
             )(y)
             y = BatchNorm(dtype=self.dtype, name="bn3")(y, use_running_average=not train)
         if self.has_downsample:
-            if self.fuse_expand_bn:
+            # fuse only when the projection expands >=4x: the Gram costs
+            # n*cin^2 (x3 with its VJP + remat recompute), so at the 2x
+            # expansion of layer2-4 block0 it rivals the conv itself,
+            # while at conv3's/layer1's 4x it stays ~25% (measured via
+            # cost_analysis on the isolated block)
+            if self.fuse_expand_bn and out_ch >= 4 * x.shape[-1]:
                 identity = fused_pointwise_conv_bn(
                     x, out_ch, conv_name="down_conv", bn_name="down_bn",
                     train=train, strides=(1, self.stride, self.stride),
