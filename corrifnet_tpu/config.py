@@ -54,6 +54,8 @@ class ExperimentConfig:
     chain_steps: int = 1   # optimizer steps per device dispatch (single-
                            # device only: ignored, with a warning, if
                            # mesh_shape is also set)
+    fuse_expand_bn: bool = False  # MMVit4: fold bn3/down_bn into their
+                                  # convs (nn/fusedbn.py)
 
     @property
     def jax_dtype(self):

@@ -54,6 +54,8 @@ def _build_model(cfg: ExperimentConfig):
             use_pallas=cfg.use_pallas,
             depth_mode=cfg.depth_mode,
         )
+        if cfg.modeltype == "MMVit4":
+            kwargs["fuse_expand_bn"] = cfg.fuse_expand_bn
     else:
         kwargs = dict(dtype=cfg.jax_dtype)
     return create_model(cfg.modeltype, **kwargs), spec
