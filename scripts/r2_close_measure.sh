@@ -1,0 +1,21 @@
+#!/bin/bash
+# Round-2 close-out measurements, in priority order, for when the TPU
+# tunnel is back (it was down for hours late in round 2). Each step is
+# independently useful; later steps can be dropped if time runs out.
+#   bash scripts/r2_close_measure.sh 2>&1 | tee /tmp/r2_close.log
+set -x
+cd "$(dirname "$0")/.."
+
+# 0. tunnel sanity
+timeout 120 python -c "import jax; print(jax.devices())" || exit 1
+
+# 1. fuse_expand_bn ablation (device trace, B=8, the bench config)
+timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg | tail -20
+timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg,fusebn:1 | tail -20
+
+# 2. bench at HEAD (records the pipelined-dispatch number)
+timeout 3600 python bench.py
+
+# 3. if fusebn won in (1): flip the MMVit4 default + bench again, then
+#    re-record the dryrun loss (expect a 3rd-4th decimal reassociation
+#    shift; update CLAUDE.md + __graft_entry__ docs).
