@@ -103,3 +103,39 @@ def test_sharded_train_step_matches_unsharded(data):
     # qkv kernel actually sharded over the model axis
     qkv = sh_state2.params["qkv"]["kernel"]
     assert "model" in str(qkv.sharding.spec) or qkv.sharding.is_fully_replicated is False
+
+
+def test_fused_bn_conv_matches_under_data_sharding():
+    """fuse_expand_bn's input-side Gram reduces over the BATCH axis — under
+    a data-sharded batch XLA must turn that contraction into a psum, giving
+    the same GLOBAL batch statistics as the unsharded step (matching
+    BatchNorm's cross-device stats semantics)."""
+    from jax.sharding import NamedSharding
+
+    from corrifnet_tpu.models.resnet3d import Bottleneck3D
+
+    model = Bottleneck3D(width=8, stride=1, has_downsample=True,
+                         fuse_expand_bn=True)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (8, 3, 4, 4, 8)).astype(np.float32))
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, True)
+
+    def loss(params, xx):
+        out, mut = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            xx, True, mutable=["batch_stats"],
+        )
+        return (out.astype(jnp.float32) ** 2).mean(), mut["batch_stats"]
+
+    g = jax.jit(jax.value_and_grad(loss, has_aux=True))
+    (ref_l, ref_bs), ref_g = g(v["params"], x)
+
+    mesh = make_mesh((8, 1))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    (sh_l, sh_bs), sh_g = g(v["params"], xs)
+
+    np.testing.assert_allclose(float(ref_l), float(sh_l), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(ref_bs), jax.tree.leaves(sh_bs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(ref_g), jax.tree.leaves(sh_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
