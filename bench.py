@@ -100,7 +100,39 @@ def bench_train_step(batch_size=8, chain=10, iters=3, rt_floor=0.0,
     return batch_size * chain * iters / compute
 
 
+def _tpu_ready(timeout_s=240):
+    """Probe backend init in a side thread: through the axon tunnel a down
+    service can HANG jax.devices() rather than raise."""
+    import threading
+
+    ok = []
+
+    def probe():
+        try:
+            ok.append(len(jax.devices()) > 0)
+        except Exception as e:  # noqa: BLE001
+            print(f"# backend init failed: {type(e).__name__}", file=sys.stderr)
+            ok.append(False)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok and ok[0])
+
+
 def main():
+    # The tunnel has transient outages; a failed/hung init is sticky within
+    # the process, so retry by re-exec'ing (bounded by BENCH_INIT_RETRIES).
+    if not _tpu_ready():
+        left = int(os.environ.get("BENCH_INIT_RETRIES", "3"))
+        if left <= 0:
+            raise RuntimeError("TPU backend unavailable after retries")
+        print(f"# TPU not ready; re-exec in 180 s ({left} retries left)",
+              file=sys.stderr)
+        time.sleep(180)
+        os.environ["BENCH_INIT_RETRIES"] = str(left - 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
     rt_floor = measure_roundtrip_floor()
     print(f"# round-trip floor: {rt_floor * 1e3:.1f} ms", file=sys.stderr)
 
