@@ -63,6 +63,7 @@ def bench_train_step(batch_size=8, chain=10, iters=3, rt_floor=0.0,
         dtype=jnp.bfloat16, use_pallas=True,
         depth_mode=os.environ.get("BENCH_DEPTH", "pruned"),
         scan_unroll=scan_unroll,
+        fuse_expand_bn=os.environ.get("BENCH_FUSEBN", "0") == "1",
     )
     rng = np.random.default_rng(0)
     images = jnp.asarray(
