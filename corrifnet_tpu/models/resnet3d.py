@@ -27,6 +27,7 @@ from typing import Any, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as fnn
+from jax.ad_checkpoint import checkpoint_name
 
 from corrifnet_tpu.nn import BatchNorm, Conv, max_pool, resize_linear
 from corrifnet_tpu.nn.fusedbn import fused_pointwise_conv_bn
@@ -40,6 +41,11 @@ _LAYERS = ((3, 64), (4, 128), (6, 256), (3, 512))
 _EXPANSION = 4
 
 Dtype = Any
+
+
+def _remat_policy(mode: str):
+    names = ("bn_stats", "mid_acts") if mode == "mid" else ("bn_stats",)
+    return jax.checkpoint_policies.save_only_these_names(*names)
 
 
 class Bottleneck3D(fnn.Module):
@@ -69,14 +75,20 @@ class Bottleneck3D(fnn.Module):
             kernel_init=tinit.kaiming_normal, dtype=self.dtype, name="conv1",
         )(x)
         y = BatchNorm(dtype=self.dtype, name="bn1")(y, use_running_average=not train)
-        y = jax.nn.relu(y)
+        # 'mid_acts' names the two n*(width)-sized post-relu tensors: the
+        # remat_mode='mid' policy saves them, which removes ALL in-block
+        # recompute (conv wgrads need exactly these inputs; the BN affine
+        # backwards need only the saved 'bn_stats') while still NOT
+        # storing the 4x-wider conv3/down outputs that made remat 'none'
+        # lose to recompute. Inert under other policies.
+        y = checkpoint_name(jax.nn.relu(y), "mid_acts")
         y = Conv(
             mid_ch, (1, 3, 3), strides=(1, self.stride, self.stride),
             padding=(0, 1, 1), use_bias=False, modalities=m,
             kernel_init=tinit.kaiming_normal, dtype=self.dtype, name="conv2",
         )(y)
         y = BatchNorm(dtype=self.dtype, name="bn2")(y, use_running_average=not train)
-        y = jax.nn.relu(y)
+        y = checkpoint_name(jax.nn.relu(y), "mid_acts")
         if self.fuse_expand_bn:
             # expanding pointwise convs (cin -> 4*width): BN folded into the
             # conv weights with input-side Gram statistics — the two largest
@@ -143,7 +155,7 @@ class _BottleneckTail(fnn.Module):
     width: int
     n: int
     train: bool
-    remat_mode: str = "all"  # 'all' | 'early' (only widths <= 128) | 'none'
+    remat_mode: str = "all"  # 'all' | 'mid' (save mid acts too) | 'early' | 'none'
     scan_unroll: int = 1  # lax.scan unroll factor; 0 = fully unrolled
     fuse_expand_bn: bool = False
     dtype: Dtype = None
@@ -154,17 +166,17 @@ class _BottleneckTail(fnn.Module):
         # activations recompute in the backward pass. 'all' buys ~3x
         # activation-memory headroom (batch 16+ on v5e); 'early' stores the
         # deep layers' small activations to skip their recompute.
-        if self.remat_mode == "all" or (
+        if self.remat_mode in ("all", "mid") or (
             self.remat_mode == "early" and self.width <= 128
         ):
             # Save the (C,)-sized folded BN stats (nn/norm.py names them
             # 'bn_stats'): a few KB per block, and the backward recompute
             # skips every stat reduction pass over the activations.
+            # 'mid' additionally saves the two post-relu mid activations
+            # per block (see Bottleneck3D), trading ~2*n*width of HBM per
+            # block for zero in-block recompute.
             body = fnn.remat(
-                _TailBody,
-                policy=jax.checkpoint_policies.save_only_these_names(
-                    "bn_stats"
-                ),
+                _TailBody, policy=_remat_policy(self.remat_mode)
             )
         else:
             body = _TailBody
@@ -247,8 +259,7 @@ class PackedStage1(fnn.Module):
             Tail = _PackedTailBlock
         else:
             Tail = fnn.remat(
-                _PackedTailBlock,
-                policy=jax.checkpoint_policies.save_only_these_names("bn_stats"),
+                _PackedTailBlock, policy=_remat_policy(self.remat_mode)
             )
         y = Bottleneck3D(
             width=width, stride=1, has_downsample=True, modalities=m,
