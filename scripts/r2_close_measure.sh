@@ -9,9 +9,11 @@ cd "$(dirname "$0")/.."
 # 0. tunnel sanity
 timeout 120 python -c "import jax; print(jax.devices())" || exit 1
 
-# 1. fuse_expand_bn ablation (device trace, B=8, the bench config)
+# 1. ablations (device trace, B=8, the bench config): fusebn, remat:mid
 timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg | tail -20
 timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg,fusebn:1 | tail -20
+timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg,remat:mid | tail -20
+timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg,fusebn:1,remat:mid | tail -20
 
 # 2. bench at HEAD (records the pipelined-dispatch number)
 timeout 3600 python bench.py
