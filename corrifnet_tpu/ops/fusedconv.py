@@ -1,0 +1,409 @@
+"""Fused bottleneck convolutions: BN-apply + ReLU on the input load, conv
+on the MXU, per-channel batch statistics accumulated in the output epilogue.
+
+Why: the ResNet3D bottleneck (models/resnet3d.py, reference
+mmvit4.py:196-212) is conv -> BatchNorm -> ReLU three times per block. In
+the XLA composition every conv output makes THREE full HBM round trips:
+the conv write, the statistics read (single-pass E[x]/E[x^2], nn/norm.py),
+and the normalize+relu read feeding the next conv. BatchNorm's batch
+statistics are a global reduction, so no amount of XLA fusion can overlap
+the stats pass with the conv that produces the tensor — but a Pallas kernel
+can: the per-channel ``sum`` and ``sum of squares`` are accumulated from
+the f32 MXU accumulator *while the output tile is written*, and the
+previous BN's fold + ReLU are applied to the *input* tile as it is loaded.
+Each activation then crosses HBM exactly twice (one write, one read).
+
+Two kernel families:
+
+  * ``pointwise_conv_stats`` — the bottleneck's 1x1 convs (conv1/conv3/
+    down): a blocked (n, ci) @ (ci, co) matmul, grid over row blocks, with
+    an optional per-channel ``relu(x*a + b)`` prologue and the stats
+    epilogue.
+  * ``conv3x3_fma_relu_stats`` — the bottleneck's (1,3,3) spatial conv
+    (depth folded into batch by the caller): whole images are staged in
+    VMEM, zero-padded there (never in HBM), the prologue is applied once
+    per input tile, and the conv runs as 9 shifted matmuls accumulating in
+    an f32 scratch. Stride-1 only; the three stride-2 block0 convs fall
+    back to the XLA composition.
+
+Numerics: statistics are taken from the f32 MXU accumulator *before* the
+output is rounded to the compute dtype — in f32 mode this is bit-compatible
+with the unfused BatchNorm (which upcasts the stored output); in bf16 mode
+it is slightly MORE accurate (the unfused path reads back bf16-rounded
+values). Backward passes are hand-written XLA compositions (matmuls /
+convs) checked against autodiff of the reference composition.
+
+Off-TPU both entry points dispatch to the XLA reference composition;
+interpret-mode tests cover the kernels themselves on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "pointwise_conv_stats",
+    "pointwise_conv_stats_xla",
+    "conv3x3_fma_relu_stats",
+    "conv3x3_fma_relu_stats_xla",
+]
+
+# Set True to run in the Pallas interpreter (CPU testing).
+INTERPRET = False
+
+
+def _interpret():
+    return pltpu.InterpretParams() if INTERPRET else False
+
+
+def _on_tpu():
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
+# ---------------------------------------------------------------------------
+# XLA reference compositions (also the off-TPU path)
+# ---------------------------------------------------------------------------
+
+
+def _prologue_xla(x, a, b):
+    """relu(x*a + b) with the fma in the compute dtype (matches
+    nn/norm.py's application strategy)."""
+    dt = x.dtype
+    return jax.nn.relu(x * a.astype(dt) + b.astype(dt))
+
+
+def pointwise_conv_stats_xla(x, w, a=None, b=None):
+    """Reference: z = relu(x*a+b) (or z = x), y = z @ w, stats of y.
+
+    x: (n, ci); w: (ci, co); a/b: (ci,) f32 or None (both or neither).
+    Returns (y (n, co) in x.dtype, s (co,) f32, q (co,) f32) with
+    s = sum_n y_f32, q = sum_n y_f32^2 taken from the f32 accumulation.
+    """
+    z = _prologue_xla(x, a, b) if a is not None else x
+    yf = jnp.dot(z, w, preferred_element_type=jnp.float32)
+    return yf.astype(x.dtype), yf.sum(axis=0), (yf * yf).sum(axis=0)
+
+
+def conv3x3_fma_relu_stats_xla(x, w, a, b):
+    """Reference: z = relu(x*a+b) zero-padded (1,1), y = conv3x3(z, w).
+
+    x: (B, H, W, ci); w: (3, 3, ci, co); a/b: (ci,) f32.
+    Returns (y (B, H, W, co), s (co,), q (co,)).
+    """
+    z = _prologue_xla(x, a, b)
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, w.shape, ("NHWC", "HWIO", "NHWC")
+    )
+    yf = jax.lax.conv_general_dilated(
+        z, w.astype(z.dtype), (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+    s = yf.sum(axis=(0, 1, 2))
+    q = (yf * yf).sum(axis=(0, 1, 2))
+    return yf.astype(x.dtype), s, q
+
+
+# ---------------------------------------------------------------------------
+# Pointwise kernel
+# ---------------------------------------------------------------------------
+
+_N_BLK = 512  # row block; masked tail, so any n works
+
+
+def _pw_kernel(x_ref, a_ref, b_ref, w_ref, y_ref, s_ref, q_ref, *, relu_fma, n):
+    i = pl.program_id(0)
+    nb = x_ref.shape[0]
+    x = x_ref[...]
+    if relu_fma:
+        dt = x.dtype
+        z = jnp.maximum(x * a_ref[0, :].astype(dt) + b_ref[0, :].astype(dt), 0)
+    else:
+        z = x
+    # zero rows past n so padded tail rows contribute nothing to y/s/q
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0) + i * nb
+    z = jnp.where(rows < n, z, 0)
+    yf = jnp.dot(z, w_ref[...], preferred_element_type=jnp.float32)
+    y_ref[...] = yf.astype(y_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        s_ref[...] = jnp.zeros_like(s_ref)
+        q_ref[...] = jnp.zeros_like(q_ref)
+
+    s_ref[...] += yf.sum(axis=0, keepdims=True)
+    q_ref[...] += (yf * yf).sum(axis=0, keepdims=True)
+
+
+def _pw_pallas(x, w, a, b, relu_fma):
+    n, ci = x.shape
+    co = w.shape[1]
+    nb = min(_N_BLK, max(8, n))
+    grid = (pl.cdiv(n, nb),)
+    if a is None:
+        a = jnp.ones((ci,), jnp.float32)
+        b = jnp.zeros((ci,), jnp.float32)
+    y, s, q = pl.pallas_call(
+        functools.partial(_pw_kernel, relu_fma=relu_fma, n=n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nb, ci), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ci, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nb, co), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, co), x.dtype),
+            jax.ShapeDtypeStruct((1, co), jnp.float32),
+            jax.ShapeDtypeStruct((1, co), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(x, a.reshape(1, ci), b.reshape(1, ci), w)
+    return y, s[0], q[0]
+
+
+def _pw_bwd_math(x, a, b, w, y, dy, ds, dq, relu_fma):
+    """Hand-written VJP: g = dy + ds + 2*dq*y (stats cotangents fold into
+    the output cotangent), then plain matmul transposes; the prologue's
+    relu/fma backward reconstructs the mask from x (cheap elementwise)."""
+    dt = x.dtype
+    g = dy.astype(jnp.float32) + ds + 2.0 * dq * y.astype(jnp.float32)
+    g = g.astype(dt)
+    if relu_fma:
+        pre = x * a.astype(dt) + b.astype(dt)
+        z = jnp.maximum(pre, 0)
+    else:
+        z = x
+    dwf = jnp.dot(z.T, g, preferred_element_type=jnp.float32)
+    dz = jnp.dot(g, w.T)
+    if relu_fma:
+        dpre = jnp.where(pre > 0, dz, 0)
+        dx = dpre * a.astype(dt)
+        da = (dpre.astype(jnp.float32) * x.astype(jnp.float32)).sum(axis=0)
+        db = dpre.astype(jnp.float32).sum(axis=0)
+        return dx, da, db, dwf.astype(w.dtype)
+    return dz, None, None, dwf.astype(w.dtype)
+
+
+def _pw_impl(x, a, b, w, relu_fma):
+    if _on_tpu() or INTERPRET:
+        return _pw_pallas(x, w, a, b, relu_fma)
+    return pointwise_conv_stats_xla(x, w, a if relu_fma else None, b)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _pw_op(x, a, b, w, relu_fma):
+    return _pw_impl(x, a, b, w, relu_fma)
+
+
+def _pw_fwd(x, a, b, w, relu_fma):
+    out = _pw_impl(x, a, b, w, relu_fma)
+    return out, (x, a, b, w, out[0])
+
+
+def _pw_bwd(relu_fma, res, cts):
+    x, a, b, w, y = res
+    dy, ds, dq = cts
+    dx, da, db, dw = _pw_bwd_math(x, a, b, w, y, dy, ds, dq, relu_fma)
+    if da is None:
+        da = jnp.zeros_like(a)
+        db = jnp.zeros_like(b)
+    return dx, da, db, dw
+
+
+_pw_op.defvjp(_pw_fwd, _pw_bwd)
+
+
+def pointwise_conv_stats(x, w, a: Optional[jnp.ndarray] = None,
+                         b: Optional[jnp.ndarray] = None):
+    """Fused 1x1 conv with BN-stats epilogue (and optional BN-apply+ReLU
+    prologue when ``a``/``b`` are given).
+
+    x: (..., ci) activation (any leading shape, flattened internally);
+    w: (ci, co); a/b: per-channel f32 fold vectors of the PREVIOUS BN
+    (see nn/norm.py ``bn_fold``) or None for a raw matmul.
+    Returns (y (..., co), s (co,) f32, q (co,) f32) where s/q are the
+    per-channel sum / sum-of-squares of y over all leading axes.
+    """
+    lead = x.shape[:-1]
+    ci = x.shape[-1]
+    x2 = x.reshape(-1, ci)
+    relu_fma = a is not None
+    if not relu_fma:
+        a = jnp.ones((ci,), jnp.float32)
+        b = jnp.zeros((ci,), jnp.float32)
+    y, s, q = _pw_op(x2, a, b, w, relu_fma)
+    return y.reshape(*lead, w.shape[1]), s, q
+
+
+# ---------------------------------------------------------------------------
+# 3x3 kernel (stride 1, zero padding (1, 1))
+# ---------------------------------------------------------------------------
+
+
+def _c3_pick_p(batch, h, w, ci, co, esize, budget=10 * 2 ** 20):
+    """Images per program: fill ~2-4k matmul rows without blowing VMEM.
+
+    Accounts for the z scratch ((p, H+2, W+2, ci)), the f32 accumulator,
+    the x/y blocks and the full kernel."""
+    kbytes = 9 * ci * co * esize
+    best = 1
+    for p in range(1, batch + 1):
+        zb = p * (h + 2) * (w + 2) * ci * esize
+        acc = p * h * w * co * 4
+        xy = p * h * w * (ci + co) * esize
+        if kbytes + zb + acc + xy > budget:
+            break
+        best = p
+        if p * h * w >= 2048:
+            break
+    return best
+
+
+def _c3_kernel(x_ref, a_ref, b_ref, w_ref, y_ref, s_ref, q_ref, z_ref,
+               acc_ref, *, batch, h, w):
+    i = pl.program_id(0)
+    p, ci = x_ref.shape[0], x_ref.shape[3]
+    co = w_ref.shape[3]
+    dt = x_ref.dtype
+
+    x = x_ref[...]
+    z = jnp.maximum(x * a_ref[0, :].astype(dt) + b_ref[0, :].astype(dt), 0)
+    # zero out padded tail images (grid may overrun batch)
+    imgs = jax.lax.broadcasted_iota(jnp.int32, (p, 1, 1, 1), 0) + i * p
+    z = jnp.where(imgs < batch, z, 0)
+    z_ref[...] = jnp.zeros_like(z_ref)  # zero borders == conv's (1,1) pad
+    z_ref[:, 1:h + 1, 1:w + 1, :] = z
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    for u in range(3):
+        for v in range(3):
+            zs = z_ref[:, u:u + h, v:v + w, :].reshape(p * h * w, ci)
+            acc_ref[...] += jnp.dot(
+                zs, w_ref[u, v], preferred_element_type=jnp.float32
+            )
+    yf = acc_ref[...]
+    y_ref[...] = yf.reshape(p, h, w, co).astype(dt)
+
+    @pl.when(i == 0)
+    def _():
+        s_ref[...] = jnp.zeros_like(s_ref)
+        q_ref[...] = jnp.zeros_like(q_ref)
+
+    s_ref[...] += yf.sum(axis=0, keepdims=True)
+    q_ref[...] += (yf * yf).sum(axis=0, keepdims=True)
+
+
+def _c3_pallas(x, w, a, b):
+    batch, h, ww, ci = x.shape
+    co = w.shape[3]
+    esize = x.dtype.itemsize
+    p = _c3_pick_p(batch, h, ww, ci, co, esize)
+    grid = (pl.cdiv(batch, p),)
+    y, s, q = pl.pallas_call(
+        functools.partial(_c3_kernel, batch=batch, h=h, w=ww),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((p, h, ww, ci), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, ci, co), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((p, h, ww, co), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, h, ww, co), x.dtype),
+            jax.ShapeDtypeStruct((1, co), jnp.float32),
+            jax.ShapeDtypeStruct((1, co), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((p, h + 2, ww + 2, ci), x.dtype),
+            pltpu.VMEM((p * h * ww, co), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(x, a.reshape(1, ci), b.reshape(1, ci), w)
+    return y, s[0], q[0]
+
+
+def _c3_impl(x, a, b, w):
+    if _on_tpu() or INTERPRET:
+        return _c3_pallas(x, w, a, b)
+    return conv3x3_fma_relu_stats_xla(x, w, a, b)
+
+
+@jax.custom_vjp
+def _c3_op(x, a, b, w):
+    return _c3_impl(x, a, b, w)
+
+
+def _c3_fwd(x, a, b, w):
+    out = _c3_impl(x, a, b, w)
+    return out, (x, a, b, w, out[0])
+
+
+def _c3_bwd(res, cts):
+    x, a, b, w, y = res
+    dy, ds, dq = cts
+    dt = x.dtype
+    _, h, ww, _ = x.shape
+    g = dy.astype(jnp.float32) + ds + 2.0 * dq * y.astype(jnp.float32)
+    g = g.astype(dt)
+    pre = x * a.astype(dt) + b.astype(dt)
+    z = jnp.maximum(pre, 0)
+    wc = w.astype(dt)
+    # dz = conv(g, flip(w) with in/out swapped), same (1,1) padding
+    dn = jax.lax.conv_dimension_numbers(
+        g.shape, (3, 3, wc.shape[3], wc.shape[2]), ("NHWC", "HWIO", "NHWC")
+    )
+    dz = jax.lax.conv_general_dilated(
+        g, jnp.flip(wc, (0, 1)).transpose(0, 1, 3, 2), (1, 1),
+        [(1, 1), (1, 1)], dimension_numbers=dn,
+    )
+    # dw[u,v] = zpad_shift(u,v)^T @ g — 9 plain matmuls, f32 accumulation
+    zp = jnp.pad(z, [(0, 0), (1, 1), (1, 1), (0, 0)])
+    dw = jnp.stack([
+        jnp.stack([
+            jnp.einsum(
+                "bijc,bijo->co", zp[:, u:u + h, v:v + ww], g,
+                preferred_element_type=jnp.float32,
+            )
+            for v in range(3)
+        ], axis=0)
+        for u in range(3)
+    ], axis=0)
+    dpre = jnp.where(pre > 0, dz, 0)
+    dx = dpre * a.astype(dt)
+    da = (dpre.astype(jnp.float32) * x.astype(jnp.float32)).sum(axis=(0, 1, 2))
+    db = dpre.astype(jnp.float32).sum(axis=(0, 1, 2))
+    return dx, da, db, dw.astype(w.dtype)
+
+
+_c3_op.defvjp(_c3_fwd, _c3_bwd)
+
+
+def conv3x3_fma_relu_stats(x, w, a, b):
+    """Fused (3, 3) stride-1 conv: BN-apply + ReLU prologue on the input
+    load, zero padding materialized only in VMEM, per-channel stats of the
+    output accumulated from the f32 MXU accumulator.
+
+    x: (B, H, W, ci) (callers fold a unit depth-kernel axis into B);
+    w: (3, 3, ci, co); a/b: (ci,) f32 fold vectors of the previous BN.
+    Returns (y (B, H, W, co), s (co,) f32, q (co,) f32).
+    """
+    return _c3_op(x, a, b, w)
