@@ -56,6 +56,8 @@ class ExperimentConfig:
                            # mesh_shape is also set)
     fuse_expand_bn: bool = False  # MMVit4: fold bn3/down_bn into their
                                   # convs (nn/fusedbn.py)
+    pallas_fused_blocks: bool = False  # MMVit4: bottleneck convs via the
+                                  # fused Pallas kernels (ops/fusedconv.py)
 
     @property
     def jax_dtype(self):

@@ -93,6 +93,7 @@ class MMVit4(fnn.Module):
     scan_unroll: int = 1  # encoder tail-scan unroll factor; 0 = full unroll
     pack_stage1: bool = True  # stem+layer1 modality-packed (see PackedStage1)
     fuse_expand_bn: bool = False  # fold bn3/down_bn into convs (nn/fusedbn.py)
+    pallas_fused_blocks: bool = False  # bottleneck convs via ops/fusedconv.py
 
     @fnn.compact
     def __call__(self, x, train: bool = False):
@@ -106,7 +107,8 @@ class MMVit4(fnn.Module):
             packed = jnp.transpose(x, (0, 2, 3, 4, 1)).astype(cdtype)
             x1p, y1p = PackedStage1(
                 modalities=3, remat_mode=self.remat_mode,
-                fuse_expand_bn=self.fuse_expand_bn, dtype=self.dtype,
+                fuse_expand_bn=self.fuse_expand_bn,
+                pallas_fused=self.pallas_fused_blocks, dtype=self.dtype,
                 name="packed_stage1",
             )(packed, train)
 
@@ -128,6 +130,7 @@ class MMVit4(fnn.Module):
             e1, e2, e3, e4, e5, e6 = VEncoder(
                 remat_mode=self.remat_mode, scan_unroll=self.scan_unroll,
                 skip_stage1=True, fuse_expand_bn=self.fuse_expand_bn,
+                pallas_fused=self.pallas_fused_blocks,
                 dtype=self.dtype, name="encoders"
             )(stage1, train)
         else:
@@ -145,6 +148,7 @@ class MMVit4(fnn.Module):
             e1, e2, e3, e4, e5, e6 = VEncoder(
                 remat_mode=self.remat_mode, scan_unroll=self.scan_unroll,
                 fuse_expand_bn=self.fuse_expand_bn,
+                pallas_fused=self.pallas_fused_blocks,
                 dtype=self.dtype, name="encoders"
             )(vol, train)
 

@@ -62,10 +62,13 @@ class Bottleneck3D(fnn.Module):
     has_downsample: bool = False
     modalities: int = 1
     fuse_expand_bn: bool = False  # fold bn3/down_bn into their convs
+    pallas_fused: bool = False  # ops/fusedconv.py kernel path (see _fused)
     dtype: Dtype = None
 
     @fnn.compact
     def __call__(self, x, train: bool = True):
+        if self.pallas_fused:
+            return self._fused(x, train)
         m = self.modalities
         mid_ch = self.width * m
         out_ch = self.width * _EXPANSION * m
@@ -130,6 +133,109 @@ class Bottleneck3D(fnn.Module):
                 )
         return jax.nn.relu(y + identity)
 
+    def _fused(self, x, train: bool):
+        """Pallas-kernel forward (ops/fusedconv.py): every conv carries the
+        previous BN's apply + ReLU in its input prologue and emits its own
+        batch statistics from the epilogue, so the three conv outputs cross
+        HBM once per direction instead of three times. Parameter/stat
+        pytree is IDENTICAL to the standard path (same module/param names
+        on the same rng paths — the fusedbn.py contract); numerics differ
+        from it only by f32 reassociation (stats come from the f32 MXU
+        accumulator rather than a rounded readback). The stride-2 conv2 of
+        layers 2-4 block0 falls back to the XLA composition; its conv1 and
+        conv3 neighbours stay fused."""
+        from corrifnet_tpu.nn.conv import _block_diag_kernel
+        from corrifnet_tpu.nn.fusedbn import _BNParams, _ConvKernel
+        from corrifnet_tpu.ops.fusedconv import (
+            conv3x3_fma_relu_stats,
+            pointwise_conv_stats,
+        )
+
+        m = self.modalities
+        mid_ch = self.width * m
+        out_ch = self.width * _EXPANSION * m
+        in_ch = x.shape[-1]
+        cdtype = self.dtype or x.dtype
+        x = x.astype(cdtype)
+
+        def pw_kernel(name, ci, co, ks=(1, 1, 1)):
+            k = _ConvKernel(
+                kernel_size=ks, in_ch=ci, features=co, modalities=m,
+                kernel_init=tinit.kaiming_normal, name=name,
+            )()
+            if m > 1:
+                k = _block_diag_kernel(k)
+            return k.astype(cdtype)
+
+        def bn_from(name, s, q, nel, features):
+            mean = s / nel
+            var = jnp.maximum(q / nel - mean * mean, 0.0)
+            return _BNParams(features=features, name=name)(
+                mean, var, nel, use_running_average=not train
+            )
+
+        nel1 = 1
+        for d in x.shape[:-1]:
+            nel1 *= d
+
+        y1, s1, q1 = pointwise_conv_stats(
+            x, pw_kernel("conv1", in_ch, mid_ch).reshape(in_ch, mid_ch)
+        )
+        y1 = checkpoint_name(y1, "mid_acts")
+        a1, b1 = bn_from("bn1", s1, q1, nel1, mid_ch)
+
+        w2 = pw_kernel("conv2", mid_ch, mid_ch, ks=(1, 3, 3))  # (1,3,3,ci,co)
+        bb, dd, hh, ww_, _ = y1.shape
+        if self.stride == 1:
+            y2, s2, q2 = conv3x3_fma_relu_stats(
+                y1.reshape(bb * dd, hh, ww_, mid_ch), w2[0], a1, b1
+            )
+            y2 = y2.reshape(bb, dd, hh, ww_, mid_ch)
+        else:
+            # stride-2 conv2 (layers 2-4 block0): XLA conv, prologue as a
+            # fused elementwise producer
+            dt = y1.dtype
+            z1 = jax.nn.relu(y1 * a1.astype(dt) + b1.astype(dt))
+            z1 = z1.reshape(bb * dd, hh, ww_, mid_ch)
+            dn = jax.lax.conv_dimension_numbers(
+                z1.shape, w2[0].shape, ("NHWC", "HWIO", "NHWC")
+            )
+            yf = jax.lax.conv_general_dilated(
+                z1, w2[0], (self.stride, self.stride), [(1, 1), (1, 1)],
+                dimension_numbers=dn,
+                preferred_element_type=jnp.promote_types(dt, jnp.float32),
+            )
+            s2 = yf.sum(axis=(0, 1, 2)).astype(jnp.float32)
+            q2 = (yf * yf).sum(axis=(0, 1, 2)).astype(jnp.float32)
+            y2 = yf.astype(dt).reshape(bb, dd, yf.shape[1], yf.shape[2], mid_ch)
+        y2 = checkpoint_name(y2, "mid_acts")
+        nel2 = nel1 // (self.stride * self.stride)
+        a2, b2 = bn_from("bn2", s2, q2, nel2, mid_ch)
+
+        y3, s3, q3 = pointwise_conv_stats(
+            y2, pw_kernel("conv3", mid_ch, out_ch).reshape(mid_ch, out_ch),
+            a2, b2,
+        )
+        a3, b3 = bn_from("bn3", s3, q3, nel2, out_ch)
+
+        if self.has_downsample:
+            xd = x
+            if self.stride != 1:
+                for axis in (2, 3):
+                    xd = jax.lax.slice_in_dim(
+                        xd, 0, xd.shape[axis], stride=self.stride, axis=axis
+                    )
+            yd, sd, qd = pointwise_conv_stats(
+                xd, pw_kernel("down_conv", in_ch, out_ch).reshape(in_ch, out_ch)
+            )
+            ad, bd = bn_from("down_bn", sd, qd, nel2, out_ch)
+            dt = yd.dtype
+            identity = yd * ad.astype(dt) + bd.astype(dt)
+        else:
+            identity = x
+        dt = y3.dtype
+        return jax.nn.relu(y3 * a3.astype(dt) + b3.astype(dt) + identity)
+
 
 class _TailBody(fnn.Module):
     """scan body: one stride-1 bottleneck (train is a static attribute)."""
@@ -137,13 +243,15 @@ class _TailBody(fnn.Module):
     width: int
     train: bool
     fuse_expand_bn: bool = False
+    pallas_fused: bool = False
     dtype: Dtype = None
 
     @fnn.compact
     def __call__(self, x, _):
         y = Bottleneck3D(
             width=self.width, stride=1, has_downsample=False,
-            fuse_expand_bn=self.fuse_expand_bn, dtype=self.dtype,
+            fuse_expand_bn=self.fuse_expand_bn,
+            pallas_fused=self.pallas_fused, dtype=self.dtype,
             name="block",
         )(x, self.train)
         return y, None
@@ -158,6 +266,7 @@ class _BottleneckTail(fnn.Module):
     remat_mode: str = "all"  # 'all' | 'mid' (save mid acts too) | 'early' | 'none'
     scan_unroll: int = 1  # lax.scan unroll factor; 0 = fully unrolled
     fuse_expand_bn: bool = False
+    pallas_fused: bool = False
     dtype: Dtype = None
 
     @fnn.compact
@@ -190,7 +299,8 @@ class _BottleneckTail(fnn.Module):
         )
         y, _ = Scanned(
             width=self.width, train=self.train,
-            fuse_expand_bn=self.fuse_expand_bn, dtype=self.dtype, name="blocks"
+            fuse_expand_bn=self.fuse_expand_bn,
+            pallas_fused=self.pallas_fused, dtype=self.dtype, name="blocks"
         )(x, None)
         return y
 
@@ -203,6 +313,7 @@ class _PackedTailBlock(fnn.Module):
     train: bool
     modalities: int
     fuse_expand_bn: bool = False
+    pallas_fused: bool = False
     dtype: Dtype = None
 
     @fnn.compact
@@ -210,7 +321,7 @@ class _PackedTailBlock(fnn.Module):
         return Bottleneck3D(
             width=self.width, stride=1, has_downsample=False,
             modalities=self.modalities, fuse_expand_bn=self.fuse_expand_bn,
-            dtype=self.dtype, name="block",
+            pallas_fused=self.pallas_fused, dtype=self.dtype, name="block",
         )(x, self.train)
 
 
@@ -240,6 +351,7 @@ class PackedStage1(fnn.Module):
     modalities: int = 3
     remat_mode: str = "all"  # remat tail blocks (matches _BottleneckTail)
     fuse_expand_bn: bool = False
+    pallas_fused: bool = False
     dtype: Dtype = None
 
     @fnn.compact
@@ -263,13 +375,15 @@ class PackedStage1(fnn.Module):
             )
         y = Bottleneck3D(
             width=width, stride=1, has_downsample=True, modalities=m,
-            fuse_expand_bn=self.fuse_expand_bn, dtype=self.dtype,
+            fuse_expand_bn=self.fuse_expand_bn,
+            pallas_fused=self.pallas_fused, dtype=self.dtype,
             name="layer1_block0",
         )(x1, train)
         for bi in range(1, blocks):
             y = Tail(
                 width=width, train=train, modalities=m,
                 fuse_expand_bn=self.fuse_expand_bn,
+                pallas_fused=self.pallas_fused,
                 dtype=self.dtype, name=f"layer1_b{bi}",
             )(y)
         return x1, y
@@ -341,6 +455,7 @@ class ResNet3DEncoder(fnn.Module):
     scan_unroll: int = 1  # see _BottleneckTail
     skip_stage1: bool = False
     fuse_expand_bn: bool = False  # see Bottleneck3D
+    pallas_fused: bool = False  # see Bottleneck3D
     dtype: Dtype = None
 
     @fnn.compact
@@ -370,6 +485,7 @@ class ResNet3DEncoder(fnn.Module):
                 stride=2 if li > 0 else 1,
                 has_downsample=True,
                 fuse_expand_bn=self.fuse_expand_bn,
+                pallas_fused=self.pallas_fused,
                 dtype=self.dtype,
                 name=f"layer{li + 1}_block0",
             )(y, train)
@@ -383,6 +499,7 @@ class ResNet3DEncoder(fnn.Module):
                     remat_mode=self.remat_mode,
                     scan_unroll=self.scan_unroll,
                     fuse_expand_bn=self.fuse_expand_bn,
+                    pallas_fused=self.pallas_fused,
                     dtype=self.dtype,
                     name=f"layer{li + 1}_tail",
                 )(y)

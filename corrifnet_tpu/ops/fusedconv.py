@@ -86,8 +86,11 @@ def pointwise_conv_stats_xla(x, w, a=None, b=None):
     s = sum_n y_f32, q = sum_n y_f32^2 taken from the f32 accumulation.
     """
     z = _prologue_xla(x, a, b) if a is not None else x
-    yf = jnp.dot(z, w, preferred_element_type=jnp.float32)
-    return yf.astype(x.dtype), yf.sum(axis=0), (yf * yf).sum(axis=0)
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    yf = jnp.dot(z, w, preferred_element_type=acc)
+    s = yf.sum(axis=0).astype(jnp.float32)
+    q = (yf * yf).sum(axis=0).astype(jnp.float32)
+    return yf.astype(x.dtype), s, q
 
 
 def conv3x3_fma_relu_stats_xla(x, w, a, b):
@@ -102,10 +105,10 @@ def conv3x3_fma_relu_stats_xla(x, w, a, b):
     )
     yf = jax.lax.conv_general_dilated(
         z, w.astype(z.dtype), (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
     )
-    s = yf.sum(axis=(0, 1, 2))
-    q = (yf * yf).sum(axis=(0, 1, 2))
+    s = yf.sum(axis=(0, 1, 2)).astype(jnp.float32)
+    q = (yf * yf).sum(axis=(0, 1, 2)).astype(jnp.float32)
     return yf.astype(x.dtype), s, q
 
 

@@ -56,6 +56,7 @@ def _build_model(cfg: ExperimentConfig):
         )
         if cfg.modeltype == "MMVit4":
             kwargs["fuse_expand_bn"] = cfg.fuse_expand_bn
+            kwargs["pallas_fused_blocks"] = cfg.pallas_fused_blocks
     else:
         kwargs = dict(dtype=cfg.jax_dtype)
     return create_model(cfg.modeltype, **kwargs), spec
