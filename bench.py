@@ -64,6 +64,7 @@ def bench_train_step(batch_size=8, chain=10, iters=3, rt_floor=0.0,
         depth_mode=os.environ.get("BENCH_DEPTH", "pruned"),
         scan_unroll=scan_unroll,
         fuse_expand_bn=os.environ.get("BENCH_FUSEBN", "0") == "1",
+        pallas_fused_blocks=os.environ.get("BENCH_FUSEDBLK", "0") == "1",
     )
     rng = np.random.default_rng(0)
     images = jnp.asarray(

@@ -35,6 +35,7 @@ def build(batch, spec):
         remat_mode=spec.get("remat", "all"),
         scan_unroll=int(spec.get("unroll", 1)),
         fuse_expand_bn=spec.get("fusebn", "0") == "1",
+        pallas_fused_blocks=spec.get("fusedblk", "0") == "1",
     )
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.normal(0, 1, (batch, 3, 3, 224, 224)).astype(np.float32))

@@ -15,6 +15,10 @@ timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg,fusebn:1 | tail -
 timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg,remat:mid | tail -20
 timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg,fusebn:1,remat:mid | tail -20
 
+# 1b. fused-block kernel path (ops/fusedconv.py) ablation
+timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg,fusedblk:1 | tail -20
+timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg,fusedblk:1,remat:mid | tail -20
+
 # 2. bench at HEAD (records the pipelined-dispatch number)
 timeout 3600 python bench.py
 
