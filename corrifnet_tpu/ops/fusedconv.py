@@ -147,6 +147,14 @@ def _pw_pallas(x, w, a, b, relu_fma):
     n, ci = x.shape
     co = w.shape[1]
     nb = min(_N_BLK, max(8, n))
+    # keep the resident set (double-buffered x/y blocks, the full kernel,
+    # and the f32 accumulator temp) under ~10 MB of VMEM
+    esize = x.dtype.itemsize
+    while nb > 64 and (
+        2 * nb * (ci + co) * esize + ci * co * esize + nb * co * 4
+        > 10 * 2 ** 20
+    ):
+        nb //= 2
     grid = (pl.cdiv(n, nb),)
     if a is None:
         a = jnp.ones((ci,), jnp.float32)
