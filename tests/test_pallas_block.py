@@ -60,14 +60,16 @@ def test_fused_block_matches_standard(stride, down, m):
     np.testing.assert_allclose(e_f, e_s, rtol=1e-4, atol=1e-4)
 
 
-def test_fused_block_grads_match_standard():
-    width, m = 8, 1
-    in_ch = width * 2
+@pytest.mark.parametrize("m", [1, 3])
+def test_fused_block_grads_match_standard(m):
+    width = 8
+    in_ch = width * 2 * m
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 10, 10, in_ch))
     rng = jax.random.PRNGKey(1)
-    std = Bottleneck3D(width=width, stride=1, has_downsample=True)
+    std = Bottleneck3D(width=width, stride=1, has_downsample=True,
+                       modalities=m)
     fus = Bottleneck3D(width=width, stride=1, has_downsample=True,
-                       pallas_fused=True)
+                       modalities=m, pallas_fused=True)
     v = std.init({"params": rng}, x, True)
 
     def loss(mod):
