@@ -183,6 +183,96 @@ def _pw_pallas(x, w, a, b, relu_fma):
     return y, s[0], q[0]
 
 
+def _pw_bwd_kernel(x_ref, a_ref, b_ref, w_ref, y_ref, dy_ref, ds_ref, dq_ref,
+                   dx_ref, dw_ref, da_ref, db_ref, *, relu_fma, n):
+    """One pass: g = dy + ds + 2*dq*y; dw += z^T g; dz = g w^T; prologue
+    backward (mask/fma) emits dx and accumulates da/db. x/y/dy are read
+    once; no intermediate crosses HBM."""
+    i = pl.program_id(0)
+    nb = x_ref.shape[0]
+    dt = x_ref.dtype
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0) + i * nb
+    live = rows < n
+
+    gf = (dy_ref[...].astype(jnp.float32) + ds_ref[...]
+          + 2.0 * dq_ref[...] * y_ref[...].astype(jnp.float32))
+    g = jnp.where(live, gf, 0.0).astype(dt)
+
+    # zero dead rows of x as well: padded tail blocks may hold arbitrary
+    # bits (NaN * 0 would poison the dw/da accumulators)
+    x = jnp.where(live, x_ref[...], 0)
+    if relu_fma:
+        pre = x * a_ref[0, :].astype(dt) + b_ref[0, :].astype(dt)
+        z = jnp.maximum(pre, 0)
+    else:
+        z = x
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        da_ref[...] = jnp.zeros_like(da_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    dw_ref[...] += jax.lax.dot_general(
+        z, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dz = jax.lax.dot_general(
+        g, w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)
+    if relu_fma:
+        dpre = jnp.where(pre > 0, dz, 0)
+        dx_ref[...] = dpre * a_ref[0, :].astype(dt)
+        dpf = dpre.astype(jnp.float32)
+        da_ref[...] += (dpf * x.astype(jnp.float32)).sum(axis=0, keepdims=True)
+        db_ref[...] += dpf.sum(axis=0, keepdims=True)
+    else:
+        dx_ref[...] = dz
+
+
+def _pw_bwd_pallas(x, a, b, w, y, dy, ds, dq, relu_fma):
+    n, ci = x.shape
+    co = w.shape[1]
+    nb = min(_N_BLK, max(8, n))
+    esize = x.dtype.itemsize
+    # resident: double-buffered x/y/dy/dx blocks + w + f32 dw/da/db + temps
+    while nb > 64 and (
+        2 * nb * (2 * ci + 2 * co) * esize + ci * co * (esize + 4)
+        + nb * (ci + co) * 4 > 10 * 2 ** 20
+    ):
+        nb //= 2
+    grid = (pl.cdiv(n, nb),)
+    dx, dw, da, db = pl.pallas_call(
+        functools.partial(_pw_bwd_kernel, relu_fma=relu_fma, n=n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nb, ci), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ci, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, co), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, co), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nb, ci), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ci, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, ci), x.dtype),
+            jax.ShapeDtypeStruct((ci, co), jnp.float32),
+            jax.ShapeDtypeStruct((1, ci), jnp.float32),
+            jax.ShapeDtypeStruct((1, ci), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(x, a.reshape(1, ci), b.reshape(1, ci), w, y, dy,
+      ds.reshape(1, co), dq.reshape(1, co))
+    return dx, dw.astype(w.dtype), da[0], db[0]
+
+
 def _pw_bwd_math(x, a, b, w, y, dy, ds, dq, relu_fma):
     """Hand-written VJP: g = dy + ds + 2*dq*y (stats cotangents fold into
     the output cotangent), then plain matmul transposes; the prologue's
@@ -225,6 +315,12 @@ def _pw_fwd(x, a, b, w, relu_fma):
 def _pw_bwd(relu_fma, res, cts):
     x, a, b, w, y = res
     dy, ds, dq = cts
+    if _on_tpu() or INTERPRET:
+        dx, dw, da, db = _pw_bwd_pallas(x, a, b, w, y, dy, ds, dq, relu_fma)
+        if not relu_fma:
+            da = jnp.zeros_like(a)
+            db = jnp.zeros_like(b)
+        return dx, da, db, dw
     dx, da, db, dw = _pw_bwd_math(x, a, b, w, y, dy, ds, dq, relu_fma)
     if da is None:
         da = jnp.zeros_like(a)
