@@ -449,7 +449,15 @@ def _c3_pallas(x, w, a, b):
 
 
 def _c3_impl(x, a, b, w):
-    if _on_tpu() or INTERPRET:
+    # CORRIFNET_FUSED_C3=xla: plan-B for the measurement session — keep the
+    # fused pointwise kernels but run conv2 as the XLA composition (its
+    # Mosaic risks: the offset interior scratch write + per-tap
+    # strided-value reshape; see NOTES.md).
+    import os
+
+    if (_on_tpu() or INTERPRET) and os.environ.get(
+        "CORRIFNET_FUSED_C3", "pallas"
+    ) != "xla":
         return _c3_pallas(x, w, a, b)
     return conv3x3_fma_relu_stats_xla(x, w, a, b)
 

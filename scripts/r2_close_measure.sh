@@ -9,6 +9,9 @@ cd "$(dirname "$0")/.."
 # 0. tunnel sanity
 timeout 120 python -c "import jax; print(jax.devices())" || exit 1
 
+# 0b. per-layer fused-kernel microbench (smallest compiles, fastest signal)
+timeout 1800 python scripts/micro_fusedconv.py
+
 # 1. ablations (device trace, B=8, the bench config): fusebn, remat:mid
 timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg | tail -20
 timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg,fusebn:1 | tail -20
