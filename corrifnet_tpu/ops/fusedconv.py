@@ -472,9 +472,135 @@ def _c3_fwd(x, a, b, w):
     return out, (x, a, b, w, out[0])
 
 
+def _c3_bwd_kernel(x_ref, a_ref, b_ref, w_ref, y_ref, dy_ref, ds_ref, dq_ref,
+                   dx_ref, dw_ref, da_ref, db_ref, z_ref, g_ref, acc_ref,
+                   *, batch, h, w):
+    """One pass over x/y/dy per image group: g = dy + ds + 2*dq*y; z and g
+    are staged zero-padded in VMEM; dw[u,v] += z_shift(u,v)^T g (9 f32
+    accumulators), dz = sum_s g_shift(s) @ w[2-s]^T, then the prologue's
+    mask/fma backward emits dx and accumulates da/db."""
+    i = pl.program_id(0)
+    p, ci = x_ref.shape[0], x_ref.shape[3]
+    co = w_ref.shape[3]
+    dt = x_ref.dtype
+    imgs = jax.lax.broadcasted_iota(jnp.int32, (p, 1, 1, 1), 0) + i * p
+    live = imgs < batch
+
+    x = jnp.where(live, x_ref[...], 0)
+    gf = (dy_ref[...].astype(jnp.float32) + ds_ref[0, :]
+          + 2.0 * dq_ref[0, :] * y_ref[...].astype(jnp.float32))
+    g = jnp.where(live, gf, 0.0).astype(dt)
+
+    pre = x * a_ref[0, :].astype(dt) + b_ref[0, :].astype(dt)
+    z_ref[...] = jnp.zeros_like(z_ref)
+    z_ref[:, 1:h + 1, 1:w + 1, :] = jnp.maximum(pre, 0)
+    g_ref[...] = jnp.zeros_like(g_ref)
+    g_ref[:, 1:h + 1, 1:w + 1, :] = g
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        da_ref[...] = jnp.zeros_like(da_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    g2 = g.reshape(p * h * w, co)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    for u in range(3):
+        for v in range(3):
+            zs = z_ref[:, u:u + h, v:v + w, :].reshape(p * h * w, ci)
+            dw_ref[u, v] += jax.lax.dot_general(
+                zs, g2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            gs = g_ref[:, u:u + h, v:v + w, :].reshape(p * h * w, co)
+            # dz[i] = sum_s gpad[i+s] w[2-s]: contract over co
+            acc_ref[...] += jax.lax.dot_general(
+                gs, w_ref[2 - u, 2 - v], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    dz = acc_ref[...].reshape(p, h, w, ci).astype(dt)
+    dpre = jnp.where(pre > 0, dz, 0)
+    dx_ref[...] = dpre * a_ref[0, :].astype(dt)
+    dpf = dpre.astype(jnp.float32)
+    da_ref[...] += (dpf * x.astype(jnp.float32)).sum(axis=(0, 1, 2))[None]
+    db_ref[...] += dpf.sum(axis=(0, 1, 2))[None]
+
+
+def _c3_bwd_pallas(x, a, b, w, y, dy, ds, dq):
+    batch, h, ww, ci = x.shape
+    co = w.shape[3]
+    esize = x.dtype.itemsize
+    # resident: z+g scratch, dz f32 scratch, dw f32, x/y/dy/dx blocks
+    fixed = 9 * ci * co * (esize + 4)
+    best = 1
+    for p in range(1, batch + 1):
+        zb = p * (h + 2) * (ww + 2) * (ci + co) * esize
+        acc = p * h * ww * ci * 4
+        xy = p * h * ww * (2 * ci + 2 * co) * esize
+        if fixed + zb + acc + xy > 10 * 2 ** 20:
+            break
+        best = p
+        if p * h * ww >= 2048:
+            break
+    p = best
+    grid = (pl.cdiv(batch, p),)
+    dx, dw, da, db = pl.pallas_call(
+        functools.partial(_c3_bwd_kernel, batch=batch, h=h, w=ww),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((p, h, ww, ci), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, ci, co), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, h, ww, co), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, h, ww, co), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((p, h, ww, ci), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, ci, co), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, h, ww, ci), x.dtype),
+            jax.ShapeDtypeStruct((3, 3, ci, co), jnp.float32),
+            jax.ShapeDtypeStruct((1, ci), jnp.float32),
+            jax.ShapeDtypeStruct((1, ci), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((p, h + 2, ww + 2, ci), x.dtype),
+            pltpu.VMEM((p, h + 2, ww + 2, co), x.dtype),
+            pltpu.VMEM((p * h * ww, ci), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(x, a.reshape(1, ci), b.reshape(1, ci), w, y, dy,
+      ds.reshape(1, co), dq.reshape(1, co))
+    return dx, dw.astype(w.dtype), da[0], db[0]
+
+
 def _c3_bwd(res, cts):
     x, a, b, w, y = res
     dy, ds, dq = cts
+    ci, co = w.shape[2], w.shape[3]
+    import os
+
+    # Pallas bwd only where the 9 f32 dw accumulators fit the budget
+    # (layers 1-2 shapes — where the tensors, and the win, are big)
+    if (
+        (_on_tpu() or INTERPRET)
+        and 9 * ci * co * 4 <= 4 * 2 ** 20
+        and os.environ.get("CORRIFNET_FUSED_C3", "pallas") != "xla"
+    ):
+        dx, dw, da, db = _c3_bwd_pallas(x, a, b, w, y, dy, ds, dq)
+        return dx, da, db, dw
     dt = x.dtype
     _, h, ww, _ = x.shape
     g = dy.astype(jnp.float32) + ds + 2.0 * dq * y.astype(jnp.float32)
