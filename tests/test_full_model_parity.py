@@ -187,3 +187,31 @@ def test_full_forward_matches_reference_packed(ref_model_and_output):
     # only changes f32 reduction order
     np.testing.assert_allclose(out, ref_out, atol=1.5e-3, rtol=0)
     assert float(np.abs(out - ref_out).mean()) < 5e-5
+
+
+def test_full_forward_matches_reference_pallas_fused(ref_model_and_output):
+    """pallas_fused_blocks=True ALSO matches the torch reference: same
+    param tree, the fused composition (ops/fusedconv.py — here the XLA
+    reference path, CPU) is algebraically identical in eval mode
+    (f64-bitwise vs the standard path, tests/test_pallas_block.py)."""
+    import jax.numpy as jnp
+
+    from corrifnet_tpu.models.mmvit4 import MMVit4
+    from corrifnet_tpu.models.torch_import import mmvit4_variables_from_state_dict
+
+    model_t, x_np, ref_out = ref_model_and_output
+    variables = mmvit4_variables_from_state_dict(
+        model_t.state_dict(), pack_stage1=True
+    )
+    variables = {
+        "params": variables["params"],
+        "batch_stats": variables["batch_stats"],
+    }
+
+    jm = MMVit4(use_pallas=False, depth_mode="full", pack_stage1=True,
+                pallas_fused_blocks=True)
+    out = np.asarray(jm.apply(variables, jnp.asarray(x_np), False))
+
+    assert out.shape == ref_out.shape == (1, 3, 1, 224, 224)
+    np.testing.assert_allclose(out, ref_out, atol=1.5e-3, rtol=0)
+    assert float(np.abs(out - ref_out).mean()) < 5e-5
