@@ -71,18 +71,23 @@ def make_batches(
 ) -> Iterator[Batch]:
     """Preferred batch source for the training/eval loops.
 
-    Uses the C++ threaded double-buffered batcher
-    (native/corrifnet_native.cc) when the shared library is available so
-    host-side gather+pad overlaps device compute; falls back to the pure
-    Python :func:`batch_iterator` (identical output, golden-tested in
-    tests/test_native.py). ``use_native``: None = auto,
+    The C++ threaded double-buffered batcher (native/corrifnet_native.cc)
+    sits behind ``use_native=True`` / CORRIFNET_NATIVE_BATCHER=1; measured
+    on the target box (1 host core, 64-sample 224 set, batch 4) it is
+    3.3x SLOWER per epoch than the vectorized numpy gather (89.9 vs
+    27.4 ms) and hides LESS behind an overlapped consumer (+108.8 vs
+    +46.8 ms across 16 x 10 ms steps) — per-batch ctypes/thread overhead
+    exceeds the memcpy it offloads — so the DEFAULT is the Python path
+    (identical output, golden-tested in tests/test_native.py). The C++
+    MAT reader (data/native.py ``load_mat``) keeps its role: it replaces
+    the scipy parse, the reference's actual disk hot spot
+    (F8_IMAGES4.py:20-34). ``use_native``: None = env-controlled default,
     False = force Python, True = require native (raises if unavailable).
-    Env override: CORRIFNET_NATIVE_BATCHER=0 disables.
     """
     import os
 
     if use_native is None:
-        if os.environ.get("CORRIFNET_NATIVE_BATCHER", "1") != "1":
+        if os.environ.get("CORRIFNET_NATIVE_BATCHER", "0") != "1":
             use_native = False
     if use_native is not False:
         try:
