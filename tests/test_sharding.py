@@ -105,17 +105,21 @@ def test_sharded_train_step_matches_unsharded(data):
     assert "model" in str(qkv.sharding.spec) or qkv.sharding.is_fully_replicated is False
 
 
-def test_fused_bn_conv_matches_under_data_sharding():
-    """fuse_expand_bn's input-side Gram reduces over the BATCH axis — under
-    a data-sharded batch XLA must turn that contraction into a psum, giving
-    the same GLOBAL batch statistics as the unsharded step (matching
-    BatchNorm's cross-device stats semantics)."""
+@pytest.mark.parametrize("flag", ["fuse_expand_bn", "pallas_fused"])
+def test_fused_bn_conv_matches_under_data_sharding(flag):
+    """The fused-BN paths reduce batch statistics over the BATCH axis —
+    under a data-sharded batch XLA must turn those contractions into
+    psums, giving the same GLOBAL batch statistics as the unsharded step
+    (matching BatchNorm's cross-device stats semantics). Covers both the
+    Gram-folded path (fuse_expand_bn) and the fused-kernel path
+    (pallas_fused — its XLA composition off-TPU, including the
+    hand-written VJP's partitioning)."""
     from jax.sharding import NamedSharding
 
     from corrifnet_tpu.models.resnet3d import Bottleneck3D
 
     model = Bottleneck3D(width=8, stride=1, has_downsample=True,
-                         fuse_expand_bn=True)
+                         **{flag: True})
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.normal(0, 1, (8, 3, 4, 4, 8)).astype(np.float32))
     v = model.init({"params": jax.random.PRNGKey(0)}, x, True)
