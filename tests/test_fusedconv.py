@@ -146,3 +146,49 @@ def test_vmap_pointwise():
         yr, sr, qr = fc.pointwise_conv_stats_xla(x[j], w[j])
         np.testing.assert_allclose(y[j], yr, rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(s[j], sr, rtol=1e-4, atol=1e-3)
+
+
+def test_fused_kernels_under_scan_vmap():
+    """The encoder composition — fnn.scan over bottleneck bodies, under
+    jax.vmap — differentiates through the Pallas kernels (interpret
+    mode) and matches the standard Conv+BatchNorm tail's grads.
+
+    remat is OFF here: the Pallas INTERPRETER's io-callback effect can't
+    partial-eval under jax.checkpoint (compiled Pallas on TPU has no such
+    effect — the remat composition is covered by the model-level grad
+    equivalence on the XLA path, tests/test_pallas_block.py)."""
+    from corrifnet_tpu.models.resnet3d import _BottleneckTail
+
+    width, m = 4, 1
+    in_ch = width * 4
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 3, 8, 8, in_ch))
+
+    def build(fused):
+        return _BottleneckTail(width=width, n=2, train=True,
+                               remat_mode="none", pallas_fused=fused)
+
+    v = jax.vmap(
+        lambda xx: build(False).init({"params": jax.random.PRNGKey(1)}, xx)
+    )(x)
+
+    def loss(fused):
+        mod = build(fused)
+
+        def f(params, xx):
+            y, _ = jax.vmap(
+                lambda vv, bs, xi: mod.apply(
+                    {"params": vv, "batch_stats": bs}, xi,
+                    mutable=["batch_stats"],
+                )
+            )(params, v["batch_stats"], xx)
+            return (y[0].astype(jnp.float32) ** 2).mean()
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(False))(v["params"], x)
+    l1, g1 = jax.value_and_grad(loss(True))(v["params"], x)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    for (p, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g0),
+        jax.tree_util.tree_leaves_with_path(g1),
+    ):
+        np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-4, err_msg=str(p))
