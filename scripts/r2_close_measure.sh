@@ -22,6 +22,9 @@ timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg,fusebn:1,remat:mi
 timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg,fusedblk:1 | tail -20
 timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg,fusedblk:1,remat:mid | tail -20
 
+# 1c. auto-layout probe (donated-state layouts; untagged-copy pool)
+timeout 1800 python scripts/layout_probe.py 8 3 224 | tail -5
+
 # 2. bench at HEAD (records the pipelined-dispatch number)
 timeout 3600 python bench.py
 
