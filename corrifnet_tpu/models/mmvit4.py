@@ -58,6 +58,7 @@ class _ModalityStream(fnn.Module):
     """Per-modality tokenizer + IntraFormer + qkv projection (vmapped x3)."""
 
     use_pallas_attn: bool = False
+    transformer_dropout: float = 0.1
     dtype: Dtype = None
 
     @fnn.compact
@@ -69,7 +70,8 @@ class _ModalityStream(fnn.Module):
             name="encode_conv",
         )(x6.reshape(b, NUM_TOKENS, -1))
         trans = Transformer(
-            TRANSFORMER_DIM, depth=1, heads=8, mlp_dim=512, dropout_rate=0.1,
+            TRANSFORMER_DIM, depth=1, heads=8, mlp_dim=512,
+            dropout_rate=self.transformer_dropout,
             use_pallas_attn=self.use_pallas_attn, dtype=self.dtype,
             name="transformer",
         )(skip, pos, deterministic=not train)
@@ -94,6 +96,8 @@ class MMVit4(fnn.Module):
     pack_stage1: bool = True  # stem+layer1 modality-packed (see PackedStage1)
     fuse_expand_bn: bool = False  # fold bn3/down_bn into convs (nn/fusedbn.py)
     pallas_fused_blocks: bool = False  # bottleneck convs via ops/fusedconv.py
+    transformer_dropout: float = 0.1  # reference rate (mmvit4.py Transformer);
+    # a knob so train-mode parity tests can run deterministically
 
     @fnn.compact
     def __call__(self, x, train: bool = False):
@@ -177,7 +181,8 @@ class MMVit4(fnn.Module):
         )
         x6_tokens = e6.reshape(3, b, NUM_TOKENS, BASIC_DIMS * 8)
         skip, q, k, v = VStream(
-            use_pallas_attn=self.use_pallas, dtype=self.dtype,
+            use_pallas_attn=self.use_pallas,
+            transformer_dropout=self.transformer_dropout, dtype=self.dtype,
             name="modality_stream",
         )(x6_tokens, pos.astype(cdtype), train)
 
@@ -200,7 +205,8 @@ class MMVit4(fnn.Module):
             [pos[0], pos[1], pos[2], fused6_pos], axis=1
         ).astype(cdtype)
         mm_out = Transformer(
-            TRANSFORMER_DIM, depth=1, heads=8, mlp_dim=512, dropout_rate=0.1,
+            TRANSFORMER_DIM, depth=1, heads=8, mlp_dim=512,
+            dropout_rate=self.transformer_dropout,
             use_pallas_attn=self.use_pallas, dtype=self.dtype,
             name="multimodal_transformer",
         )(mm_tokens, mm_pos, deterministic=not train)

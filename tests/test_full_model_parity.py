@@ -215,3 +215,118 @@ def test_full_forward_matches_reference_pallas_fused(ref_model_and_output):
     assert out.shape == ref_out.shape == (1, 3, 1, 224, 224)
     np.testing.assert_allclose(out, ref_out, atol=1.5e-3, rtol=0)
     assert float(np.abs(out - ref_out).mean()) < 5e-5
+
+
+def test_train_dynamics_match_reference(ref_model_and_output):
+    """Training-mode parity vs torch autograd: same loss value, same BN
+    running-stat updates, and the same gradient direction end-to-end.
+
+    BN runs in train mode on both sides (batch stats + running update);
+    dropout is disabled on both sides (torch: module-level eval; jax:
+    transformer_dropout=0) so the comparison is deterministic. Gradients
+    are mapped through the same state-dict converter as the weights
+    (pure transposes/reshapes, so it maps cotangents exactly)."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from corrifnet_tpu.models.mmvit4 import MMVit4
+    from corrifnet_tpu.models.torch_import import mmvit4_variables_from_state_dict
+    from corrifnet_tpu.train.state import _masked_loss_and_jaccard
+
+    model_t, x_np, _ = ref_model_and_output
+    model_t = copy.deepcopy(model_t)  # protect the module-scoped fixture
+    sd0 = copy.deepcopy(model_t.state_dict())
+
+    # BN in train mode, dropout (and everything else) in eval mode
+    model_t.eval()
+    for m in model_t.modules():
+        if isinstance(m, torch.nn.modules.batchnorm._BatchNorm):
+            m.train()
+
+    rng = np.random.default_rng(11)
+    target_np = (rng.random((1, 3, 1, 224, 224)) > 0.7).astype(np.float32)
+
+    out_t = model_t(torch.from_numpy(x_np))
+    loss_t = torch.nn.BCEWithLogitsLoss()(out_t, torch.from_numpy(target_np))
+    loss_t.backward()
+    sd_after = model_t.state_dict()
+    named = dict(model_t.named_parameters())
+    grad_sd = {}
+    for k, v in sd_after.items():
+        if k in named:
+            g = named[k].grad
+            # None = the reference's dead branches (e.g. fusion5 feeding
+            # the computed-but-unused fused_x5): gradient is exactly zero
+            grad_sd[k] = g if g is not None else torch.zeros_like(v)
+        else:
+            grad_sd[k] = v  # buffers (land in batch_stats, ignored below)
+
+    variables = mmvit4_variables_from_state_dict(sd0, pack_stage1=True)
+    jm = MMVit4(use_pallas=False, depth_mode="full", pack_stage1=True,
+                transformer_dropout=0.0)
+    x = jnp.asarray(x_np)
+    masks = jnp.asarray(target_np)
+    valid = jnp.ones((1,), jnp.float32)
+
+    def loss_fn(params):
+        out, mut = jm.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)},
+        )
+        loss, _, _ = _masked_loss_and_jaccard(
+            out.astype(jnp.float32), masks, valid
+        )
+        return loss, mut["batch_stats"]
+
+    (loss_j, bs_j), grads_j = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"]
+    )
+
+    # 1. loss value
+    np.testing.assert_allclose(float(loss_j), float(loss_t), atol=2e-5)
+
+    # 2. BN running stats after one step (torch buffers -> same converter)
+    bs_ref = mmvit4_variables_from_state_dict(
+        sd_after, pack_stage1=True
+    )["batch_stats"]
+    for (p, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(bs_ref),
+        jax.tree_util.tree_leaves_with_path(bs_j),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4,
+            err_msg=str(p),
+        )
+
+    # 3. gradient direction: global cosine + per-leaf cosine on the
+    # heavy leaves (deep small leaves carry reassociation noise — see
+    # the fuse_expand_bn calibration in tests/test_pallas_block.py)
+    g_ref = mmvit4_variables_from_state_dict(
+        grad_sd, pack_stage1=True
+    )["params"]
+    ref_leaves = jax.tree_util.tree_leaves_with_path(g_ref)
+    j_leaves = jax.tree_util.tree_leaves_with_path(grads_j)
+    assert [p for p, _ in ref_leaves] == [p for p, _ in j_leaves]
+    num = den_a = den_b = 0.0
+    rows = []
+    for (p, a), (_, b) in zip(ref_leaves, j_leaves):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        num += float(a @ b)
+        den_a += float(a @ a)
+        den_b += float(b @ b)
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na > 0 and nb > 0:
+            rows.append((na, float(a @ b) / (na * nb), str(p)))
+    # measured floor (f32 end-to-end both sides): global 0.99900, worst
+    # leaf 0.9977, norm ratios ~1.001 — diffuse reassociation noise, the
+    # same profile the fuse_expand_bn calibration shows between two JAX
+    # compositions (tests/test_pallas_block.py)
+    global_cos = num / (den_a ** 0.5 * den_b ** 0.5)
+    assert global_cos > 0.998, global_cos
+    rows.sort(reverse=True)
+    for na, cos, p in rows[:40]:  # the 40 largest-gradient leaves
+        assert cos > 0.995, (p, cos, na)
