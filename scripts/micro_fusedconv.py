@@ -59,7 +59,12 @@ def make_chain(width, in_ch, hw, m, g, fused):
 
         vv_fix = lambda v: v
 
+    fwd_only = os.environ.get("MF_FWD_ONLY", "0") == "1"
+
     def one(xx, _):
+        if fwd_only:
+            # tail blocks preserve shape: chain the forward directly
+            return fwd(v, xx).astype(xx.dtype), 0.0
         grad = jax.grad(
             lambda t: (fwd(v, t).astype(jnp.float32) ** 2).mean()
         )(xx)

@@ -11,6 +11,7 @@ timeout 120 python -c "import jax; print(jax.devices())" || exit 1
 
 # 0b. per-layer fused-kernel microbench (smallest compiles, fastest signal)
 timeout 1800 python scripts/micro_fusedconv.py
+MF_FWD_ONLY=1 timeout 1200 python scripts/micro_fusedconv.py
 
 # 1. ablations (device trace, B=8, the bench config): fusebn, remat:mid
 timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg | tail -20
