@@ -96,6 +96,7 @@ class _IntraStream(fnn.Module):
     downstream consumers use the transformer OUTPUT, not the skip."""
 
     use_pallas_attn: bool = False
+    transformer_dropout: float = 0.1
     dtype: Dtype = None
 
     @fnn.compact
@@ -105,7 +106,8 @@ class _IntraStream(fnn.Module):
             name="encode_conv",
         )(x6_tokens)
         intra = Transformer(
-            TDIM, depth=1, heads=8, mlp_dim=512, dropout_rate=0.1,
+            TDIM, depth=1, heads=8, mlp_dim=512,
+            dropout_rate=self.transformer_dropout,
             use_pallas_attn=self.use_pallas_attn, dtype=self.dtype,
             name="transformer",
         )(tok, pos, deterministic=not train)
@@ -123,6 +125,8 @@ class MMVit2(fnn.Module):
     use_pallas: bool = True
     use_correlation: bool = True
     depth_mode: str = "pruned"
+    transformer_dropout: float = 0.1  # reference rate; a knob so the
+    # train-dynamics parity test can run deterministically
 
     @fnn.compact
     def __call__(self, x, train: bool = False):
@@ -160,7 +164,8 @@ class MMVit2(fnn.Module):
         )
         x6_tokens = e6.reshape(3, b, NUM_TOKENS, BD * 8)
         intra, q, k, v = VStream(
-            use_pallas_attn=self.use_pallas, dtype=self.dtype,
+            use_pallas_attn=self.use_pallas,
+            transformer_dropout=self.transformer_dropout, dtype=self.dtype,
             name="modality_stream",
         )(x6_tokens, pos.astype(cdtype), train)
 
@@ -174,7 +179,8 @@ class MMVit2(fnn.Module):
         mm_tokens = jnp.concatenate([mm_groups[0], mm_groups[1], mm_groups[2]], axis=1)
         mm_pos = jnp.concatenate([pos[0], pos[1], pos[2]], axis=1).astype(cdtype)
         mm_out = Transformer(
-            TDIM, depth=1, heads=8, mlp_dim=512, dropout_rate=0.1,
+            TDIM, depth=1, heads=8, mlp_dim=512,
+            dropout_rate=self.transformer_dropout,
             use_pallas_attn=self.use_pallas, dtype=self.dtype,
             name="multimodal_transformer",
         )(mm_tokens, mm_pos, deterministic=not train)

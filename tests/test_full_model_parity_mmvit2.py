@@ -135,3 +135,74 @@ def test_mmformer_forward_matches_reference(ref_mmformer):
     assert out.shape == ref_out.shape == (1, 3, 1, 224, 224)
     np.testing.assert_allclose(out, ref_out, atol=1.5e-3, rtol=0)
     assert float(np.abs(out - ref_out).mean()) < 5e-5
+
+
+def test_mmvit2_train_dynamics_match_reference(ref_mmvit2):
+    """One train-mode step vs torch autograd (MMVit2 is InstanceNorm-based,
+    so train mode differs from eval only by dropout — disabled on both
+    sides): loss value and end-to-end gradient direction match. Same
+    methodology and thresholds as the MMVit4 dynamics test."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from corrifnet_tpu.models.mmvit2 import MMVit2
+    from corrifnet_tpu.models.torch_import import (
+        mmvit2_variables_from_state_dict,
+    )
+    from corrifnet_tpu.train.state import _masked_loss_and_jaccard
+
+    model_t, x_np, _ = ref_mmvit2
+    model_t = copy.deepcopy(model_t).eval()  # eval: dropout off (no BN)
+
+    rng = np.random.default_rng(13)
+    target_np = (rng.random((1, 3, 1, 224, 224)) > 0.7).astype(np.float32)
+
+    out_t = model_t(torch.from_numpy(x_np))
+    loss_t = torch.nn.BCEWithLogitsLoss()(out_t, torch.from_numpy(target_np))
+    loss_t.backward()
+    named = dict(model_t.named_parameters())
+    grad_sd = {
+        k: (named[k].grad if k in named and named[k].grad is not None
+            else torch.zeros_like(v) if k in named else v)
+        for k, v in model_t.state_dict().items()
+    }
+
+    variables = mmvit2_variables_from_state_dict(model_t.state_dict())
+    jm = MMVit2(use_pallas=False, depth_mode="full", transformer_dropout=0.0)
+
+    def loss_fn(params):
+        out = jm.apply(
+            {"params": params}, jnp.asarray(x_np), True,
+            rngs={"dropout": jax.random.PRNGKey(0)},
+        )
+        loss, _, _ = _masked_loss_and_jaccard(
+            out.astype(jnp.float32), jnp.asarray(target_np),
+            jnp.ones((1,), jnp.float32),
+        )
+        return loss
+
+    loss_j, grads_j = jax.value_and_grad(loss_fn)(variables["params"])
+    np.testing.assert_allclose(float(loss_j), float(loss_t), atol=2e-5)
+
+    g_ref = mmvit2_variables_from_state_dict(grad_sd)["params"]
+    ref_leaves = jax.tree_util.tree_leaves_with_path(g_ref)
+    j_leaves = jax.tree_util.tree_leaves_with_path(grads_j)
+    assert [p for p, _ in ref_leaves] == [p for p, _ in j_leaves]
+    num = den_a = den_b = 0.0
+    rows = []
+    for (p, a), (_, b) in zip(ref_leaves, j_leaves):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        num += float(a @ b)
+        den_a += float(a @ a)
+        den_b += float(b @ b)
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na > 0 and nb > 0:
+            rows.append((na, float(a @ b) / (na * nb), str(p)))
+    global_cos = num / (den_a ** 0.5 * den_b ** 0.5)
+    assert global_cos > 0.998, global_cos
+    rows.sort(reverse=True)
+    for na, cos, p in rows[:40]:
+        assert cos > 0.995, (p, cos, na)
