@@ -42,13 +42,26 @@ INTERPRET = False
 
 def relu_instancenorm_xla(x, eps=1e-5):
     """Reference path: ReLU then InstanceNorm over spatial axes (torch
-    InstanceNorm3d defaults: no affine, biased variance, batch stats)."""
-    y = jax.nn.relu(x.astype(jnp.float32))
+    InstanceNorm3d defaults: no affine, biased variance, batch stats).
+
+    Composed the way nn/norm.py composes model-wide: ONE f32 reduction
+    pass (E[y] and E[y^2] fuse into a single read of the conv output) and
+    one ``y*a + b`` fma pass in the compute dtype (an f32 fma makes XLA
+    materialize an upcast copy of the whole slab — measured, NOTES.md).
+    This is the path the full-depth decoder's 128^3 slabs take (the Pallas
+    kernel's smallest row tile exceeds VMEM there), so its pass count
+    matters more than anywhere else; it is also the off-TPU fallback and
+    the composition the custom VJP differentiates through."""
     axes = tuple(range(1, x.ndim - 1))
-    mean = y.mean(axis=axes, keepdims=True)
-    var = ((y - mean) ** 2).mean(axis=axes, keepdims=True)
-    out = (y - mean) * jax.lax.rsqrt(var + eps)
-    return out.astype(x.dtype)
+    y = jax.nn.relu(x)
+    yf = y.astype(jnp.float32)
+    mean = yf.mean(axis=axes, keepdims=True)
+    sq = (yf * yf).mean(axis=axes, keepdims=True)
+    var = jnp.maximum(sq - mean * mean, 0.0)
+    a = jax.lax.rsqrt(var + eps)
+    b = -mean * a
+    dt = x.dtype
+    return y * a.astype(dt) + b.astype(dt)
 
 
 def _kernel(eps, x_ref, o_ref):
