@@ -29,6 +29,12 @@ timeout 1800 python scripts/layout_probe.py 8 3 224 | tail -5
 # 2. bench at HEAD (records the pipelined-dispatch number)
 timeout 3600 python bench.py
 
+# 2b. full (reference-faithful) depth mode: the single-pass ReLU+IN
+#     fallback rewrite targets its 128^3 decoder slabs (was 25.51
+#     patches/s at the last measurement). Trace + bench at B=8.
+timeout 2400 python scripts/profile_step.py 8 unroll:0,rng:rbg,depth:full | tail -20
+BENCH_DEPTH=full BENCH_BATCH=8 timeout 3600 python bench.py
+
 # 3. if fusebn won in (1): flip the MMVit4 default + bench again, then
 #    re-record the dryrun loss (expect a 3rd-4th decimal reassociation
 #    shift; update CLAUDE.md + __graft_entry__ docs).
