@@ -200,14 +200,20 @@ class Bottleneck3D(fnn.Module):
             dn = jax.lax.conv_dimension_numbers(
                 z1.shape, w2[0].shape, ("NHWC", "HWIO", "NHWC")
             )
-            yf = jax.lax.conv_general_dilated(
+            # conv in the compute dtype: preferred_element_type=f32 here is
+            # NOT autodiff-safe (the transpose rule feeds the f32 cotangent
+            # back into a conv with the bf16 kernel -> dtype error); the TPU
+            # conv accumulates in f32 internally either way, so the output
+            # is identical and only the stats see rounded-readback values —
+            # the same accuracy as the standard unfused path (nn/norm.py).
+            yc = jax.lax.conv_general_dilated(
                 z1, w2[0], (self.stride, self.stride), [(1, 1), (1, 1)],
                 dimension_numbers=dn,
-                preferred_element_type=jnp.promote_types(dt, jnp.float32),
             )
-            s2 = yf.sum(axis=(0, 1, 2)).astype(jnp.float32)
-            q2 = (yf * yf).sum(axis=(0, 1, 2)).astype(jnp.float32)
-            y2 = yf.astype(dt).reshape(bb, dd, yf.shape[1], yf.shape[2], mid_ch)
+            yf = yc.astype(jnp.float32)
+            s2 = yf.sum(axis=(0, 1, 2))
+            q2 = (yf * yf).sum(axis=(0, 1, 2))
+            y2 = yc.reshape(bb, dd, yc.shape[1], yc.shape[2], mid_ch)
         y2 = checkpoint_name(y2, "mid_acts")
         nel2 = nel1 // (self.stride * self.stride)
         a2, b2 = bn_from("bn2", s2, q2, nel2, mid_ch)

@@ -93,6 +93,37 @@ def test_fused_block_grads_match_standard(m):
         )
 
 
+def test_fused_block_bf16_stride2_grad_traces():
+    """Regression: the stride-2 XLA-fallback conv used
+    preferred_element_type=f32, whose transpose rule feeds the f32
+    cotangent into a conv with the bf16 kernel — bf16 autodiff through a
+    stride-2 fused block raised TypeError at trace time (would have burned
+    a TPU measurement session)."""
+    width = 8
+    m = 1
+    in_ch = width * 2 * m
+    x = jax.random.normal(
+        jax.random.PRNGKey(0), (1, 2, 8, 8, in_ch)
+    ).astype(jnp.bfloat16)
+    fus = Bottleneck3D(width=width, stride=2, has_downsample=True,
+                       modalities=m, pallas_fused=True, dtype=jnp.bfloat16)
+    v = fus.init({"params": jax.random.PRNGKey(1)}, x, True)
+
+    def f(params, x):
+        y, _ = fus.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            x, True, mutable=["batch_stats"],
+        )
+        return y.astype(jnp.float32).sum()
+
+    gp, gx = jax.grad(f, argnums=(0, 1))(v["params"], x)
+    assert gx.dtype == jnp.bfloat16
+    assert all(
+        bool(jnp.all(jnp.isfinite(l.astype(jnp.float32))))
+        for l in jax.tree_util.tree_leaves(gp)
+    )
+
+
 def test_mmvit4_pallas_fused_model_level():
     from corrifnet_tpu.models.mmvit4 import MMVit4
 
