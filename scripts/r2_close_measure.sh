@@ -14,14 +14,14 @@ timeout 1800 python scripts/micro_fusedconv.py
 MF_FWD_ONLY=1 timeout 1200 python scripts/micro_fusedconv.py
 
 # 1. ablations (device trace, B=8, the bench config): fusebn, remat:mid
-timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg | tail -20
-timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg,fusebn:1 | tail -20
-timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg,remat:mid | tail -20
-timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg,fusebn:1,remat:mid | tail -20
+timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg
+timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg,fusebn:1
+timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg,remat:mid
+timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg,fusebn:1,remat:mid
 
 # 1b. fused-block kernel path (ops/fusedconv.py) ablation
-timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg,fusedblk:1 | tail -20
-timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg,fusedblk:1,remat:mid | tail -20
+timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg,fusedblk:1
+timeout 1200 python scripts/profile_step.py 8 unroll:0,rng:rbg,fusedblk:1,remat:mid
 
 # 1c. auto-layout probe (donated-state layouts; untagged-copy pool)
 timeout 1800 python scripts/layout_probe.py 8 3 224 | tail -5
@@ -32,7 +32,7 @@ timeout 3600 python bench.py
 # 2b. full (reference-faithful) depth mode: the single-pass ReLU+IN
 #     fallback rewrite targets its 128^3 decoder slabs (was 25.51
 #     patches/s at the last measurement). Trace + bench at B=8.
-timeout 2400 python scripts/profile_step.py 8 unroll:0,rng:rbg,depth:full | tail -20
+timeout 2400 python scripts/profile_step.py 8 unroll:0,rng:rbg,depth:full
 BENCH_DEPTH=full BENCH_BATCH=8 timeout 3600 python bench.py
 
 # 3. if fusebn won in (1): flip the MMVit4 default + bench again, then
