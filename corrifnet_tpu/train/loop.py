@@ -58,7 +58,10 @@ def default_dropout_key(seed: int = 0):
     remain deterministic for a fixed impl+seed+program."""
     impl = os.environ.get("CORRIFNET_RNG_IMPL")
     if impl is None:
-        impl = "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
+        # Same TPU predicate as ops/: tunneled TPU backends register under
+        # their plugin name (e.g. 'axon'), not 'tpu'.
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        impl = "rbg" if on_tpu else "threefry2x32"
     return jax.random.key(seed, impl=impl)
 
 
