@@ -58,6 +58,10 @@ class ExperimentConfig:
                                   # convs (nn/fusedbn.py)
     pallas_fused_blocks: bool = False  # MMVit4: bottleneck convs via the
                                   # fused Pallas kernels (ops/fusedconv.py)
+    remat_mode: str = "all"  # MMVit4 encoder remat: 'all' | 'mid' | 'early'
+                             # | 'none' (models/resnet3d.py)
+    scan_unroll: int = 1     # MMVit4 encoder tail-scan unroll; 0 = full
+                             # unroll (smaller device time, bigger program)
 
     @property
     def jax_dtype(self):

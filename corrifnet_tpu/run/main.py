@@ -57,6 +57,8 @@ def _build_model(cfg: ExperimentConfig):
         if cfg.modeltype == "MMVit4":
             kwargs["fuse_expand_bn"] = cfg.fuse_expand_bn
             kwargs["pallas_fused_blocks"] = cfg.pallas_fused_blocks
+            kwargs["remat_mode"] = cfg.remat_mode
+            kwargs["scan_unroll"] = cfg.scan_unroll
     else:
         kwargs = dict(dtype=cfg.jax_dtype)
     return create_model(cfg.modeltype, **kwargs), spec
