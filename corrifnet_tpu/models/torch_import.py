@@ -32,6 +32,7 @@ import numpy as np
 __all__ = [
     "mmvit4_variables_from_state_dict",
     "mmvit2_variables_from_state_dict",
+    "unetv2_variables_from_state_dict",
 ]
 
 _MODALITIES = ("RGB", "NIR", "SWIR")
@@ -300,3 +301,153 @@ def mmvit4_variables_from_state_dict(
 
         variables = pack_stage1_variables(variables)
     return variables
+
+
+# ---------------------------------------------------------------------------
+# Single-modality (4-D) zoo converters
+# ---------------------------------------------------------------------------
+
+
+def _conv2d(sd, key) -> Dict:
+    """Conv2d weight (O, I, KH, KW) -> channels-last (KH, KW, I, O)."""
+    out = {"kernel": np.transpose(_np(sd[f"{key}.weight"]), (2, 3, 1, 0))}
+    if f"{key}.bias" in sd:
+        out["bias"] = _np(sd[f"{key}.bias"])
+    return out
+
+
+def _double_conv2(sd, key) -> Tuple[Dict, Dict]:
+    """Reference double_conv (F9_UNET_V2_3.py:19-37): Sequential indices
+    0/3 are the convs, 1/4 the BNs -> DoubleConv {conv0,bn0,conv1,bn1}."""
+    params, stats = {}, {}
+    for i, idx in enumerate((0, 3)):
+        params[f"conv{i}"] = _conv2d(sd, f"{key}.{idx}")
+        p, s = _bn(sd, f"{key}.{idx + 1}")
+        params[f"bn{i}"], stats[f"bn{i}"] = p, s
+    return params, stats
+
+
+def unetv2_variables_from_state_dict(state_dict: Mapping) -> Dict:
+    """Reference UNetV2 (F9_UNET_V2_3.py:113-141) ``state_dict`` ->
+    :class:`corrifnet_tpu.models.unet.UNetV2` ``variables`` pytree.
+
+    The reference ``up`` module's ConvTranspose2d parameters
+    (``up{i}.up.weight/bias``) are dead with the default ``bilinear=True``
+    (F9:74-78) and are skipped, matching the rebuild's documented omission.
+    """
+    sd = state_dict
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(name, key):
+        params[name], stats[name] = _double_conv2(sd, key)
+
+    put("inc", "inc.conv.conv")
+    for i in range(1, 5):
+        # down = Sequential(MaxPool2d, Dropout, double_conv) (F9:49-56)
+        put(f"down{i}", f"down{i}.mpconv.2.conv")
+    for i in range(1, 5):
+        put(f"up{i}", f"up{i}.conv.conv")
+    params["outc"] = _conv2d(sd, "outc.conv")
+    return {"params": params, "batch_stats": stats}
+
+
+def _convtranspose2d(sd, key) -> Dict:
+    """ConvTranspose2d weight (I, O, KH, KW) -> (KH, KW, O, I), the layout
+    of :class:`corrifnet_tpu.nn.ConvTranspose`."""
+    out = {"kernel": np.transpose(_np(sd[f"{key}.weight"]), (2, 3, 1, 0))}
+    if f"{key}.bias" in sd:
+        out["bias"] = _np(sd[f"{key}.bias"])
+    return out
+
+
+def _prelu(sd, key) -> Dict:
+    return {"prelu": {"alpha": _np(sd[f"{key}.weight"])}}
+
+
+# my regular-bottleneck name -> reference attribute (F29_ENet.py:286-377);
+# the rebuild names stage-2/3 blocks a..h, the reference numbers them
+_ENET_REGULARS = [
+    *[(f"regular1_{i}", f"regular1_{i}") for i in range(1, 5)],
+    ("regular2_a", "regular2_1"), ("dilated2_b", "dilated2_2"),
+    ("asym2_c", "asymmetric2_3"), ("dilated2_d", "dilated2_4"),
+    ("regular2_e", "regular2_5"), ("dilated2_f", "dilated2_6"),
+    ("asym2_g", "asymmetric2_7"), ("dilated2_h", "dilated2_8"),
+    ("regular3_a", "regular3_0"), ("dilated3_b", "dilated3_1"),
+    ("asym3_c", "asymmetric3_2"), ("dilated3_d", "dilated3_3"),
+    ("regular3_e", "regular3_4"), ("dilated3_f", "dilated3_5"),
+    ("asym3_g", "asymmetric3_6"), ("dilated3_h", "dilated3_7"),
+    ("regular4_1", "regular4_1"), ("regular4_2", "regular4_2"),
+    ("regular5_1", "regular5_1"),
+]
+
+
+def enet_variables_from_state_dict(state_dict: Mapping) -> Dict:
+    """Reference ENet (F29_ENet.py:278-437) ``state_dict`` ->
+    :class:`corrifnet_tpu.models.enet.ENet` ``variables`` pytree.
+
+    The reference shares ONE activation module instance across each
+    bottleneck's Sequentials and ``out_prelu`` — the same PReLU tensor
+    appears under several state_dict keys; ``out_prelu.weight`` is read as
+    the canonical one. Encoder bottlenecks (``encoder_relu=False``) carry
+    the PReLU parameter; decoder ones (ReLU) carry none. The dead
+    ``project_layer`` (commented out of the forward, F29:414-415) is
+    skipped.
+    """
+    sd = state_dict
+    params: Dict = {}
+    stats: Dict = {}
+
+    def seq(dst_p, dst_s, ref_key, names):
+        """Conv/BN pairs from a Sequential: names = [(conv_name, bn_name,
+        seq_conv_idx), ...] (BN always follows its conv)."""
+        for cname, bname, idx in names:
+            dst_p[cname] = _conv2d(sd, f"{ref_key}.{idx}")
+            p, s = _bn(sd, f"{ref_key}.{idx + 1}")
+            dst_p[bname], dst_s[bname] = p, s
+
+    params["init_conv"] = _conv2d(sd, "initial_block.main_branch")
+    p, s = _bn(sd, "initial_block.batch_norm")
+    params["init_bn"], stats["init_bn"] = p, s
+    params["init_act"] = _prelu(sd, "initial_block.out_prelu")
+
+    for stage in (1, 2):
+        ref = f"downsample{stage}_0"
+        bp: Dict = {}
+        bs: Dict = {}
+        seq(bp, bs, f"{ref}.ext_conv1", [("c1", "bn1", 0)])
+        seq(bp, bs, f"{ref}.ext_conv2", [("c2", "bn2", 0)])
+        seq(bp, bs, f"{ref}.ext_conv3", [("c3", "bn3", 0)])
+        bp["act"] = _prelu(sd, f"{ref}.out_prelu")
+        params[f"down{stage}_0"], stats[f"down{stage}_0"] = bp, bs
+
+    for mine, ref in _ENET_REGULARS:
+        bp, bs = {}, {}
+        seq(bp, bs, f"{ref}.ext_conv1", [("c1", "bn1", 0)])
+        if mine.startswith("asym"):
+            seq(bp, bs, f"{ref}.ext_conv2",
+                [("c2a", "bn2a", 0), ("c2b", "bn2b", 3)])
+        else:
+            seq(bp, bs, f"{ref}.ext_conv2", [("c2", "bn2", 0)])
+        seq(bp, bs, f"{ref}.ext_conv3", [("c3", "bn3", 0)])
+        if f"{ref}.out_prelu.weight" in sd:  # encoder PReLU; decoder ReLU
+            bp["act"] = _prelu(sd, f"{ref}.out_prelu")
+        params[mine], stats[mine] = bp, bs
+
+    for stage, mine in ((4, "up4_0"), (5, "up5_0")):
+        ref = f"upsample{stage}_0"
+        bp, bs = {}, {}
+        bp["main_c1"] = _conv2d(sd, f"{ref}.main_conv1.0")
+        p, s = _bn(sd, f"{ref}.main_conv1.1")
+        bp["main_bn"], bs["main_bn"] = p, s
+        seq(bp, bs, f"{ref}.ext_conv1", [("c1", "bn1", 0)])
+        bp["c2"] = _convtranspose2d(sd, f"{ref}.ext_conv2.0")
+        p, s = _bn(sd, f"{ref}.ext_conv2.1")
+        bp["bn2"], bs["bn2"] = p, s
+        seq(bp, bs, f"{ref}.ext_conv3", [("c3", "bn3", 0)])
+        if f"{ref}.out_prelu.weight" in sd:
+            bp["act"] = _prelu(sd, f"{ref}.out_prelu")
+        params[mine], stats[mine] = bp, bs
+
+    params["transposed_conv"] = _convtranspose2d(sd, "transposed_conv")
+    return {"params": params, "batch_stats": stats}
