@@ -109,6 +109,13 @@ class XBlock(fnn.Module):
                     y, use_running_average=not train
                 )
 
+        # Reference quirk (F14:94-107): ``self.rep``'s leading
+        # nn.ReLU(inplace=True) mutates the block INPUT tensor before the
+        # skip branch reads it — so whenever the rep starts with a ReLU,
+        # both the conv-skip and the identity residual consume relu(inp),
+        # not inp. Torch-parity tested.
+        if ops[0][0]:
+            inp = jax.nn.relu(inp)
         if self.planes != in_ch or self.stride != 1:
             skip = Conv(
                 self.planes, 1, strides=self.stride, use_bias=False,
@@ -143,7 +150,11 @@ class Xception(fnn.Module):
 
         y = XBlock(128, 2, stride=2, start_with_relu=False, dtype=dt,
                    name="block1")(y, train)
-        low_level = y
+        # The reference aliases low_level_feat to block1's output tensor
+        # (F14:188-190) and block2's leading nn.ReLU(inplace=True) then
+        # mutates it IN PLACE — so the decoder actually consumes
+        # relu(block1_out). Quirk preserved (torch-parity tested).
+        low_level = jax.nn.relu(y)
         y = XBlock(256, 2, stride=2, dtype=dt, name="block2")(y, train)
         y = XBlock(728, 2, stride=2, is_last=True, dtype=dt, name="block3")(y, train)
         for i in range(4, 20):

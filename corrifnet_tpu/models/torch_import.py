@@ -451,3 +451,381 @@ def enet_variables_from_state_dict(state_dict: Mapping) -> Dict:
 
     params["transposed_conv"] = _convtranspose2d(sd, "transposed_conv")
     return {"params": params, "batch_stats": stats}
+
+
+def _channelnorm(sd, key) -> Dict:
+    """Reference conv-LayerNorm params (1, C, 1, 1) -> (C,) g/b
+    (segformer.py:30-40)."""
+    return {
+        "g": _np(sd[f"{key}.g"]).reshape(-1),
+        "b": _np(sd[f"{key}.b"]).reshape(-1),
+    }
+
+
+def segformer_variables_from_state_dict(state_dict: Mapping,
+                                        num_layers: int = 2) -> Dict:
+    """Reference Segformer (segformer.py:171-216) ``state_dict`` ->
+    :class:`corrifnet_tpu.models.segformer.Segformer` ``variables``.
+
+    The Unfold + 1x1-conv overlap patch embed converts to the equivalent
+    overlapping-patch conv: the 1x1 weight (O, I*k*k, 1, 1) reshapes to
+    (O, I, k, k) — nn.Unfold orders the patch vector (c, kh, kw), exactly
+    conv-kernel layout — then to channels-last (k, k, I, O).
+    """
+    sd = state_dict
+    ksp = (7, 3, 3, 3)
+    params: Dict = {}
+    for si in range(4):
+        k = ksp[si]
+        w = _np(sd[f"mit.stages.{si}.1.weight"])  # (O, I*k*k, 1, 1)
+        o = w.shape[0]
+        params[f"s{si}_embed"] = {
+            "kernel": w.reshape(o, -1, k, k).transpose(2, 3, 1, 0),
+            "bias": _np(sd[f"mit.stages.{si}.1.bias"]),
+        }
+        for li in range(num_layers):
+            base = f"mit.stages.{si}.2.{li}"
+            params[f"s{si}_l{li}_norm1"] = _channelnorm(sd, f"{base}.0.norm")
+            params[f"s{si}_l{li}_attn"] = {
+                name: _conv2d(sd, f"{base}.0.fn.{name}")
+                for name in ("to_q", "to_kv", "to_out")
+            }
+            params[f"s{si}_l{li}_norm2"] = _channelnorm(sd, f"{base}.1.norm")
+            ff = f"{base}.1.fn.net"
+            params[f"s{si}_l{li}_ff"] = {
+                "fc1": _conv2d(sd, f"{ff}.0"),
+                "dw": _conv2d(sd, f"{ff}.1.net.0"),
+                "pw": _conv2d(sd, f"{ff}.1.net.1"),
+                "fc2": _conv2d(sd, f"{ff}.3"),
+            }
+        params[f"fuse{si}"] = _conv2d(sd, f"to_fused.{si}.0")
+    params["seg1"] = _conv2d(sd, "to_segmentation.0")
+    params["seg2"] = _conv2d(sd, "to_segmentation.1")
+    return {"params": params}
+
+
+# --- ELANet (F30_ELANet.py:252-342) ---------------------------------------
+
+
+def _prelu_chan(sd, key) -> Dict:
+    """nn.PReLU(nOut) -> PReLU {alpha (nOut,)}."""
+    return {"alpha": _np(sd[f"{key}.weight"])}
+
+
+def _ela_cbp(sd, key) -> Tuple[Dict, Dict]:
+    """ConvBNPReLU (F30:9-23) -> {conv, bn, act}."""
+    p: Dict = {"conv": _conv2d(sd, f"{key}.conv")}
+    bn_p, bn_s = _bn(sd, f"{key}.bn")
+    p["bn"] = bn_p
+    p["act"] = _prelu_chan(sd, f"{key}.act")
+    return p, {"bn": bn_s}
+
+
+def _ela_bnp(sd, key) -> Tuple[Dict, Dict]:
+    """BNPReLU (F30:26-37) -> {bn, act}."""
+    bn_p, bn_s = _bn(sd, f"{key}.bn")
+    return {"bn": bn_p, "act": _prelu_chan(sd, f"{key}.act")}, {"bn": bn_s}
+
+
+def _ela_cca(sd, key) -> Dict:
+    """CCA Conv1d weights (1, 1, k) -> (k, 1, 1) WIO (F30:165-181)."""
+    return {
+        "w1": _np(sd[f"{key}.conv.0.weight"]).transpose(2, 1, 0),
+        "w2": _np(sd[f"{key}.conv.2.weight"]).transpose(2, 1, 0),
+    }
+
+
+def _ela_ecg_d(sd, key) -> Tuple[Dict, Dict]:
+    params: Dict = {}
+    stats: Dict = {}
+    for name in ("conv1x1", "conv1"):
+        params[name], stats[name] = _ela_cbp(sd, f"{key}.{name}")
+    for name in ("F_loc", "F_sur"):
+        params[name] = {"kernel": _conv2d(sd, f"{key}.{name}.conv")["kernel"]}
+    bn_p, bn_s = _bn(sd, f"{key}.bn")
+    params["bn"], stats["bn"] = bn_p, bn_s
+    params["act"] = _prelu_chan(sd, f"{key}.act")
+    params["reduce"] = {"kernel": _conv2d(sd, f"{key}.reduce.conv")["kernel"]}
+    params["CA"] = _ela_cca(sd, f"{key}.CA")
+    return params, stats
+
+
+def _ela_ecg_r(sd, key) -> Tuple[Dict, Dict]:
+    params: Dict = {}
+    stats: Dict = {}
+    for name in ("conv1x1", "conv1", "conv2"):
+        params[name], stats[name] = _ela_cbp(sd, f"{key}.{name}")
+    for name in ("F_loc1", "F_sur1", "F_loc2", "F_sur2"):
+        params[name] = {"kernel": _conv2d(sd, f"{key}.{name}.conv")["kernel"]}
+    for name in ("bn_prelu1", "bn_prelu2"):
+        params[name], stats[name] = _ela_bnp(sd, f"{key}.{name}")
+    params["CA"] = _ela_cca(sd, f"{key}.CA")
+    return params, stats
+
+
+def _ela_wdconv(sd, key) -> Tuple[Dict, Dict]:
+    p: Dict = {"conv": {"kernel": _conv2d(sd, f"{key}.conv")["kernel"]}}
+    bp, bs = _ela_bnp(sd, f"{key}.bnpre")
+    p["bnpre"] = bp
+    return p, {"bnpre": bs}
+
+
+def elanet_variables_from_state_dict(state_dict: Mapping, M: int = 2,
+                                     N: int = 5) -> Dict:
+    """Reference ELANet (F30_ELANet.py:252-342) ``state_dict`` ->
+    :class:`corrifnet_tpu.models.elanet.ELANet` ``variables``."""
+    sd = state_dict
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(name, ref, fn):
+        params[name], stats[name] = fn(sd, ref)
+
+    for i in range(3):
+        put(f"level1_{i}", f"level1_{i}", _ela_cbp)
+    put("b1", "b1", _ela_bnp)
+    put("level2_0", "level2_0", _ela_ecg_d)
+    for i in range(M):
+        put(f"level2_r{i}", f"level2.{i}", _ela_ecg_r)
+    put("bn_prelu_2", "bn_prelu_2", _ela_bnp)
+    put("level3_0", "level3_0", _ela_ecg_d)
+    for i in range(2 * N - 1):
+        put(f"level3_r{i}", f"level3.{i}", _ela_ecg_r)
+    put("bn_prelu_3", "bn_prelu_3", _ela_bnp)
+
+    dp: Dict = {}
+    ds: Dict = {}
+    dp["Xd1_wd"], ds["Xd1_wd"] = _ela_wdconv(sd, "decode.Xd1.0")
+    dp["Xd1_pw"] = _conv2d(sd, "decode.Xd1.1")
+    dp["Xd1_bnp"], ds["Xd1_bnp"] = _ela_bnp(sd, "decode.Xd1.2")
+    dp["Xd2_wd"], ds["Xd2_wd"] = _ela_wdconv(sd, "decode.Xd2")
+    dp["Xd2_1_wd"], ds["Xd2_1_wd"] = _ela_wdconv(sd, "decode.Xd2_1.0")
+    dp["Xd2_1_pw"] = _conv2d(sd, "decode.Xd2_1.1")
+    dp["Xd2_1_bnp"], ds["Xd2_1_bnp"] = _ela_bnp(sd, "decode.Xd2_1.2")
+    dp["Xb_1"] = _conv2d(sd, "decode.Xb_1.0")
+    dp["CA"] = _ela_cca(sd, "decode.CA")
+    sap: Dict = {}
+    sas: Dict = {}
+    sap["c1"], sas["c1"] = _ela_cbp(sd, "decode.SA.conv.0")
+    sap["dw"] = {"kernel": _conv2d(sd, "decode.SA.conv.1.conv")["kernel"]}
+    sap["bnp"], sas["bnp"] = _ela_bnp(sd, "decode.SA.conv.2")
+    sap["out"] = _conv2d(sd, "decode.SA.conv.3")
+    dp["SA"], ds["SA"] = sap, sas
+    dp["bnpre"], ds["bnpre"] = _ela_bnp(sd, "decode.bnpre")
+    params["decode"], stats["decode"] = dp, ds
+
+    params["classifier"] = {
+        "kernel": _conv2d(sd, "classifier.0.conv")["kernel"]
+    }
+    return {"params": params, "batch_stats": stats}
+
+
+# --- FASSDNet (F28_FASSDNet.py:272-377) ------------------------------------
+
+
+def _fassd_convlayer(sd, key) -> Tuple[Dict, Dict]:
+    """ConvLayer (F28:167-178) -> {conv, norm}."""
+    p: Dict = {"conv": {"kernel": _conv2d(sd, f"{key}.conv")["kernel"]}}
+    bp, bs = _bn(sd, f"{key}.norm")
+    p["norm"] = bp
+    return p, {"norm": bs}
+
+
+def _fassd_hardblock(sd, key, n_layers) -> Tuple[Dict, Dict]:
+    params: Dict = {}
+    stats: Dict = {}
+    for i in range(n_layers):
+        params[f"layer{i}"], stats[f"layer{i}"] = _fassd_convlayer(
+            sd, f"{key}.layers.{i}"
+        )
+    return params, stats
+
+
+def _fassd_bnprelu(sd, key) -> Tuple[Dict, Dict]:
+    """F28's BNPReLU names the PReLU ``acti`` (F28:99-108)."""
+    bp, bs = _bn(sd, f"{key}.bn")
+    return (
+        {"bn": bp, "act": {"alpha": _np(sd[f"{key}.acti.weight"])}},
+        {"bn": bs},
+    )
+
+
+def _fassd_mda(sd, key) -> Tuple[Dict, Dict]:
+    params: Dict = {}
+    stats: Dict = {}
+    params["bn_relu_1"], stats["bn_relu_1"] = _fassd_bnprelu(
+        sd, f"{key}.bn_relu_1"
+    )
+    for mine, ref in (
+        ("conv3x3", "conv3x3"),
+        ("par_conv3x3", "parallel_conv3x3"),
+        ("par_ddconv3x1", "parallel_ddconv3x1"),
+        ("par_ddconv1x3", "parallel_ddconv1x3"),
+    ):
+        params[f"{mine}_conv"] = {
+            "kernel": _conv2d(sd, f"{key}.{ref}.conv")["kernel"]
+        }
+        params[f"{mine}_bnp"], stats[f"{mine}_bnp"] = _fassd_bnprelu(
+            sd, f"{key}.{ref}.bn_prelu"
+        )
+    params["bn_relu_2"], stats["bn_relu_2"] = _fassd_bnprelu(
+        sd, f"{key}.bn_relu_2"
+    )
+    params["conv1x1"] = {"kernel": _conv2d(sd, f"{key}.conv1x1.conv")["kernel"]}
+    return params, stats
+
+
+def _fassd_dapf(sd, key="DAPF") -> Tuple[Dict, Dict]:
+    params: Dict = {"conv1x1": {"kernel": _conv2d(sd, f"{key}.conv1x1")["kernel"]}}
+    stats: Dict = {}
+    params["bn1x1"], stats["bn1x1"] = _bn(sd, f"{key}.bn1x1")
+    for i in (2, 3, 4):
+        pp: Dict = {}
+        ps: Dict = {}
+        pp["conv3x1"] = {
+            "kernel": _conv2d(sd, f"{key}.pyBranch{i}.atrous_conv3x1")["kernel"]
+        }
+        pp["bn3x1"], ps["bn3x1"] = _bn(sd, f"{key}.pyBranch{i}.bn3x1")
+        pp["conv1x3"] = {
+            "kernel": _conv2d(sd, f"{key}.pyBranch{i}.atrous_conv1x3")["kernel"]
+        }
+        pp["bn1x3"], ps["bn1x3"] = _bn(sd, f"{key}.pyBranch{i}.bn1x3")
+        params[f"pyBranch{i}"], stats[f"pyBranch{i}"] = pp, ps
+    params["conv1"] = {"kernel": _conv2d(sd, f"{key}.conv1")["kernel"]}
+    params["bn1"], stats["bn1"] = _bn(sd, f"{key}.bn1")
+    return params, stats
+
+
+def fassdnet_variables_from_state_dict(state_dict: Mapping) -> Dict:
+    """Reference FASSDNet (F28_FASSDNet.py:272-377) ``state_dict`` ->
+    :class:`corrifnet_tpu.models.fassdnet.FASSDNet` ``variables``.
+
+    The reference's ``base`` ModuleList interleaves stems / HarDBlocks /
+    transition ConvLayers / (parameterless) AvgPools; indices are resolved
+    by the same construction order (F28:286-302). TransitionUp carries no
+    parameters (F28:246-260).
+    """
+    sd = state_dict
+    n_layers = [4, 4, 8, 8]
+    params: Dict = {}
+    stats: Dict = {}
+    for i in range(4):
+        params[f"stem{i}"], stats[f"stem{i}"] = _fassd_convlayer(
+            sd, f"base.{i}"
+        )
+    idx = 4
+    for i in range(4):
+        params[f"hard{i}"], stats[f"hard{i}"] = _fassd_hardblock(
+            sd, f"base.{idx}", n_layers[i]
+        )
+        params[f"trans{i}"], stats[f"trans{i}"] = _fassd_convlayer(
+            sd, f"base.{idx + 1}"
+        )
+        idx += 3  # hardblock + convlayer + avgpool (absent after the last)
+    params["DAPF"], stats["DAPF"] = _fassd_dapf(sd)
+    for di in range(3):
+        params[f"up_conv{di}"], stats[f"up_conv{di}"] = _fassd_convlayer(
+            sd, f"conv1x1_up.{di}"
+        )
+        params[f"mda{di}"], stats[f"mda{di}"] = _fassd_mda(sd, f"mda.{di}")
+        params[f"hard_up{di}"], stats[f"hard_up{di}"] = _fassd_hardblock(
+            sd, f"denseBlocksUp.{di}", n_layers[2 - di]
+        )
+    params["finalConv"] = _conv2d(sd, "finalConv")
+    return {"params": params, "batch_stats": stats}
+
+
+# --- DeepLabv3_plus (F14_DEEPLABV3PLUS_V4_xception.py:445-494) --------------
+
+
+def _sepconv_same(sd, key) -> Dict:
+    """SeparableConv2d_same (F14:38-51) -> {dw, pw}."""
+    return {
+        "dw": {"kernel": _conv2d(sd, f"{key}.conv1")["kernel"]},
+        "pw": {"kernel": _conv2d(sd, f"{key}.pointwise")["kernel"]},
+    }
+
+
+def _xblock(sd, key, reps, stride=1, start_with_relu=True, grow_first=True,
+            is_last=False) -> Tuple[Dict, Dict]:
+    """Xception Block (F14:54-108): rebuild the ``rep`` Sequential's layout
+    (parameterless ReLUs included in the indexing) to locate each
+    SeparableConv / BN, then map to the rebuild's sep{j}/bn{j} names."""
+    seq = []
+    if grow_first:
+        seq += ["relu", "sep", "bn"]
+    for _ in range(reps - 1):
+        seq += ["relu", "sep", "bn"]
+    if not grow_first:
+        seq += ["relu", "sep", "bn"]
+    if not start_with_relu:
+        seq = seq[1:]
+    if stride != 1:
+        seq.append("sep")
+    if stride == 1 and is_last:
+        seq.append("sep")
+
+    params: Dict = {}
+    stats: Dict = {}
+    j = 0
+    for pos, kind in enumerate(seq):
+        if kind != "sep":
+            continue
+        params[f"sep{j}"] = _sepconv_same(sd, f"{key}.rep.{pos}")
+        if pos + 1 < len(seq) and seq[pos + 1] == "bn":
+            bp, bs = _bn(sd, f"{key}.rep.{pos + 1}")
+            params[f"bn{j}"], stats[f"bn{j}"] = bp, bs
+        j += 1
+    if f"{key}.skip.weight" in sd:
+        params["skip"] = {"kernel": _conv2d(sd, f"{key}.skip")["kernel"]}
+        bp, bs = _bn(sd, f"{key}.skipbn")
+        params["skipbn"], stats["skipbn"] = bp, bs
+    return params, stats
+
+
+def deeplab_variables_from_state_dict(state_dict: Mapping) -> Dict:
+    """Reference DeepLabv3_plus (F14:445-494) ``state_dict`` ->
+    :class:`corrifnet_tpu.models.deeplabv3p.DeepLabV3Plus` ``variables``."""
+    sd = state_dict
+    params: Dict = {}
+    stats: Dict = {}
+
+    xp: Dict = {}
+    xs: Dict = {}
+    for name in ("conv1", "conv2"):
+        xp[name] = {
+            "kernel": _conv2d(sd, f"xception_features.{name}")["kernel"]
+        }
+    for name in ("bn1", "bn2"):
+        xp[name], xs[name] = _bn(sd, f"xception_features.{name}")
+    specs = {
+        "block1": dict(reps=2, stride=2, start_with_relu=False),
+        "block2": dict(reps=2, stride=2),
+        "block3": dict(reps=2, stride=2, is_last=True),
+        **{f"block{i}": dict(reps=3) for i in range(4, 20)},
+        "block20": dict(reps=2, grow_first=False, is_last=True),
+    }
+    for name, kw in specs.items():
+        xp[name], xs[name] = _xblock(sd, f"xception_features.{name}", **kw)
+    for i in (3, 4, 5):
+        xp[f"conv{i}"] = _sepconv_same(sd, f"xception_features.conv{i}")
+        xp[f"bn{i}"], xs[f"bn{i}"] = _bn(sd, f"xception_features.bn{i}")
+    params["xception"], stats["xception"] = xp, xs
+
+    for i in range(1, 5):
+        params[f"aspp{i}"] = _conv2d(sd, f"aspp{i}.atrous_convolution")
+        params[f"aspp{i}_bn"], stats[f"aspp{i}_bn"] = _bn(
+            sd, f"aspp{i}.batch_norm"
+        )
+    params["image_pool"] = _conv2d(sd, "image_pool.1")
+    params["fc1"] = _conv2d(sd, "fc1.0")
+    params["fc1_bn"], stats["fc1_bn"] = _bn(sd, "fc1.1")
+    params["reduce_conv2"] = _conv2d(sd, "reduce_conv2.0")
+    params["reduce_bn"], stats["reduce_bn"] = _bn(sd, "reduce_conv2.1")
+    for j, (ci, bi) in enumerate(((0, 1), (4, 5))):
+        params[f"last_conv{j}"] = _conv2d(sd, f"last_conv.{ci}")
+        params[f"last_bn{j}"], stats[f"last_bn{j}"] = _bn(
+            sd, f"last_conv.{bi}"
+        )
+    params["classifier"] = _conv2d(sd, "last_conv.8")
+    return {"params": params, "batch_stats": stats}

@@ -135,3 +135,133 @@ def test_enet_full_forward_parity():
 
     assert out.shape == ref_out.shape == (1, 1, 64, 64)
     np.testing.assert_allclose(out, ref_out, atol=2e-5, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# Segformer (segformer.py:171-216)
+# ---------------------------------------------------------------------------
+
+
+def test_segformer_full_forward_parity():
+    """Exercises the Unfold==conv patch-embed equivalence, the biased-std
+    eps-outside-sqrt channel LayerNorm, spatial-reduction attention, and
+    the fixed-224 align_corners=False decoder upsample."""
+    from corrifnet_tpu.models.segformer import Segformer
+    from corrifnet_tpu.models.torch_import import (
+        segformer_variables_from_state_dict,
+    )
+
+    ref = _load_reference("segformer.py", "ref_segformer")
+    torch.manual_seed(0)
+    model_t = ref.Segformer(num_classes=1)
+    x_np = np.random.default_rng(11).normal(0, 1, (1, 3, 64, 64)).astype(
+        np.float32
+    )
+
+    variables = segformer_variables_from_state_dict(model_t.state_dict())
+    ref_out, out = _forward_pair(
+        model_t, Segformer(num_classes=1), variables, x_np
+    )
+
+    assert out.shape == ref_out.shape == (1, 1, 224, 224)
+    np.testing.assert_allclose(out, ref_out, atol=2e-5, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# ELANet (F30_ELANet.py:252-342)
+# ---------------------------------------------------------------------------
+
+
+def test_elanet_full_forward_parity():
+    """Exercises the ECA-style Conv1d channel attention (kernel/stride
+    derived from channel counts), dilated channelwise convs, per-channel
+    PReLUs, and the dual-attention RFF decoder."""
+    from corrifnet_tpu.models.elanet import ELANet
+    from corrifnet_tpu.models.torch_import import elanet_variables_from_state_dict
+
+    ref = _load_reference("F30_ELANet.py", "ref_elanet", stubs=("torchsummary",))
+    torch.manual_seed(0)
+    model_t = ref.ELANet(classes=1)
+    x_np = np.random.default_rng(13).normal(0, 1, (1, 3, 64, 64)).astype(
+        np.float32
+    )
+
+    variables = elanet_variables_from_state_dict(model_t.state_dict())
+    ref_out, out = _forward_pair(model_t, ELANet(classes=1), variables, x_np)
+
+    assert out.shape == ref_out.shape == (1, 1, 64, 64)
+    np.testing.assert_allclose(out, ref_out, atol=2e-5, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# FASSDNet (F28_FASSDNet.py:272-377)
+# ---------------------------------------------------------------------------
+
+
+def test_fassdnet_full_forward_parity():
+    """Exercises the HarDBlock harmonic link topology (concat indices),
+    the DAPF asymmetric dilated pyramid, and the MDA decoder blocks."""
+    from corrifnet_tpu.models.fassdnet import FASSDNet
+    from corrifnet_tpu.models.torch_import import (
+        fassdnet_variables_from_state_dict,
+    )
+
+    ref = _load_reference("F28_FASSDNet.py", "ref_fassdnet")
+    torch.manual_seed(0)
+    model_t = ref.FASSDNet(n_classes=1)
+    x_np = np.random.default_rng(17).normal(0, 1, (1, 3, 64, 64)).astype(
+        np.float32
+    )
+
+    variables = fassdnet_variables_from_state_dict(model_t.state_dict())
+    ref_out, out = _forward_pair(
+        model_t, FASSDNet(n_classes=1), variables, x_np
+    )
+
+    assert out.shape == ref_out.shape == (1, 1, 64, 64)
+    np.testing.assert_allclose(out, ref_out, atol=2e-5, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# DeepLabv3_plus (F14_DEEPLABV3PLUS_V4_xception.py:445-494)
+# ---------------------------------------------------------------------------
+
+
+def test_deeplab_full_forward_parity():
+    """Exercises the aligned-Xception entry/middle/exit flows (TF
+    fixed-padding separable convs, skip BNs), 4-rate ASPP + global max
+    image pool, and the two-stage bilinear decoder."""
+    from corrifnet_tpu.models.deeplabv3p import DeepLabV3Plus
+    from corrifnet_tpu.models.torch_import import (
+        deeplab_variables_from_state_dict,
+    )
+
+    ref = _load_reference(
+        "F14_DEEPLABV3PLUS_V4_xception.py", "ref_deeplab",
+        stubs=("torchvision", "torchvision.models"),
+    )
+    torch.manual_seed(0)
+    model_t = ref.DeepLabv3_plus(num_classes=1, pretrained=False)
+    x_np = np.random.default_rng(19).normal(0, 1, (1, 3, 64, 64)).astype(
+        np.float32
+    )
+
+    # At random init the deep Xception stack amplifies activations until the
+    # sigmoid saturates to exact 0/1 (identity running BN stats), making the
+    # comparison degenerate. One momentum-1.0 train-mode forward writes the
+    # batch statistics into the running buffers, so the eval forward is
+    # normalized and the outputs carry real precision to compare.
+    for m in model_t.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.momentum = 1.0
+    model_t.train()
+    with torch.no_grad():
+        model_t(torch.from_numpy(x_np))
+
+    variables = deeplab_variables_from_state_dict(model_t.state_dict())
+    ref_out, out = _forward_pair(
+        model_t, DeepLabV3Plus(num_classes=1), variables, x_np
+    )
+
+    assert out.shape == ref_out.shape == (1, 1, 64, 64)
+    np.testing.assert_allclose(out, ref_out, atol=2e-5, rtol=0)
