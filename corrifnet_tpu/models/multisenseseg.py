@@ -655,7 +655,10 @@ class DecodeGate(fnn.Module):
         a = jax.nn.relu(en + de)
         a = _ConvBNAct(1, 1, act="none", dtype=self.dtype, name="sa_attn")(a, train)
         a = jax.nn.sigmoid(a.astype(jnp.float32)).astype(y.dtype)
-        spat = y * a
+        # the gate multiplies the conv2-TRANSFORMED decoder features, not the
+        # pre-conv2 tensor (Spatial_attention returns x_de * attn where
+        # x_de = conv2(x_de), MultiSenseSeg.py:61-65)
+        spat = de * a
 
         chan = SEAttention(head, self.chan_ratio, dtype=self.dtype,
                            name="chan_attn")(y)

@@ -130,7 +130,9 @@ class RegionAwareModalFusion(fnn.Module):
                  name="mf_w1")(w)
         w = jax.nn.sigmoid(w.astype(jnp.float32)).astype(x_stack.dtype)
         w = w.reshape(b, 3, 1, 1, 1, 1)
-        region_feat = (x_stack * w).sum(axis=1)  # (B, D, H, W, C)
+        # the weighted sum runs over the GATED features (modal_feat), not the
+        # raw stack (RFNet.py:106,147-149)
+        region_feat = (gated * w).sum(axis=1)  # (B, D, H, W, C)
 
         # region_fusion (RFNet.py:109-120)
         rf = _gconv(c, 1, 0, self.dtype, "rf0")(region_feat, train)

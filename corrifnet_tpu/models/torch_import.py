@@ -829,3 +829,322 @@ def deeplab_variables_from_state_dict(state_dict: Mapping) -> Dict:
         )
     params["classifier"] = _conv2d(sd, "last_conv.8")
     return {"params": params, "batch_stats": stats}
+
+
+# --- RFNet (RFNet.py:287-317) ----------------------------------------------
+
+
+def _rf_gconv(sd, key) -> Dict:
+    """RFNet general_conv3d (RFNet.py:18-33; InstanceNorm3d is
+    parameter-free) -> GeneralConv3d {conv: {kernel, bias}}."""
+    return {"conv": _conv(sd, f"{key}.conv")}
+
+
+def _rf_encoder(sd, prefix) -> Dict:
+    params: Dict = {}
+    for s in range(1, 5):
+        for c in range(1, 4):
+            params[f"e{s}_c{c}"] = _rf_gconv(sd, f"{prefix}.e{s}_c{c}")
+    return params
+
+
+def _rf_prm(sd, key) -> Dict:
+    p = {
+        f"emb{i}": _rf_gconv(sd, f"{key}.embedding_layer.{i}")
+        for i in range(3)
+    }
+    p["prm0"] = _rf_gconv(sd, f"{key}.prm_layer.0")
+    p["prm1"] = _conv(sd, f"{key}.prm_layer.1")
+    return p
+
+
+def _rf_rfm(sd, key) -> Dict:
+    p: Dict = {
+        "mf_w0": _conv(sd, f"{key}.modal_fusion.weight_layer.0"),
+        "mf_w1": _conv(sd, f"{key}.modal_fusion.weight_layer.2"),
+    }
+    for i in range(3):
+        p[f"rf{i}"] = _rf_gconv(sd, f"{key}.region_fusion.fusion_layer.{i}")
+        p[f"sc{i}"] = _rf_gconv(sd, f"{key}.short_cut.{i}")
+    return p
+
+
+def rfnet_variables_from_state_dict(state_dict: Mapping) -> Dict:
+    """Reference RFNet (RFNet.py:287-317) ``state_dict`` ->
+    :class:`corrifnet_tpu.models.rfnet.RFNet` ``variables``. The three
+    per-modality encoders stack along the leading ``nn.vmap`` axis."""
+    sd = state_dict
+    params: Dict = {
+        "encoders": _stack_trees(
+            [_rf_encoder(sd, f"{m}_encoder") for m in _MODALITIES]
+        )
+    }
+    d = "decoder_fuse"
+    params["prm_generator4"] = _rf_prm(sd, f"{d}.prm_generator4")
+    for i in (1, 2, 3):
+        params[f"prm_generator{i}"] = _rf_prm(sd, f"{d}.prm_generator{i}")
+    for i in (1, 2, 3, 4):
+        params[f"RFM{i}"] = _rf_rfm(sd, f"{d}.RFM{i}")
+    for name in (
+        "d3_c1", "d3_c2", "d3_out", "d2_c1", "d2_c2", "d2_out",
+        "d1_c1", "d1_c2", "d1_out",
+    ):
+        params[name] = _rf_gconv(sd, f"{d}.{name}")
+    params["seg_layer"] = _conv(sd, f"{d}.seg_layer")
+    return {"params": params}
+
+
+# --- RobustMseg (RobustSeg.py:8-95) ----------------------------------------
+
+
+def _rs_basic(sd, key) -> Dict:
+    """BasicConv2d (RobustSeg.py:274-288; bias=False, InstanceNorm2d is
+    parameter-free) -> {conv: {kernel}}."""
+    return {"conv": {"kernel": _conv2d(sd, f"{key}.conv")["kernel"]}}
+
+
+def _rs_style_enc(sd, prefix) -> Dict:
+    p = {f"enc{i}": _rs_basic(sd, f"{prefix}.encoder.{i}") for i in range(5)}
+    p["final"] = _rs_basic(sd, f"{prefix}.final")
+    return p
+
+
+def _rs_content_enc(sd, prefix) -> Dict:
+    return {
+        f"e{l}c{c}": _rs_basic(sd, f"{prefix}.e{l}c{c}")
+        for l in range(1, 5)
+        for c in range(1, 4)
+    }
+
+
+def _rs_mlp(sd, key) -> Dict:
+    return {
+        name: {
+            "kernel": _linear(sd[f"{key}.{name}.weight"]),
+            "bias": _np(sd[f"{key}.{name}.bias"]),
+        }
+        for name in ("l1", "l2", "l_mu", "l_sigma")
+    }
+
+
+def _rs_recon(sd, prefix) -> Dict:
+    p: Dict = {"mlp": _rs_mlp(sd, f"{prefix}.mlp")}
+    for i in range(4):
+        p[f"res{i}_conv1"] = _rs_basic(sd, f"{prefix}.res_blocks.{i}.conv1")
+        p[f"res{i}_conv2"] = _rs_basic(sd, f"{prefix}.res_blocks.{i}.conv2")
+    for i in range(3):
+        p[f"up{i}"] = _rs_basic(sd, f"{prefix}.up_blocks.{i}.1")
+    p["final"] = _rs_basic(sd, f"{prefix}.final")
+    return p
+
+
+def robustseg_variables_from_state_dict(state_dict: Mapping) -> Dict:
+    """Reference RobustMseg (RobustSeg.py:8-95) ``state_dict`` ->
+    :class:`corrifnet_tpu.models.robustseg.RobustMseg` ``variables``. The
+    per-modality style/content encoders stack along the ``nn.vmap`` axis."""
+    sd = state_dict
+    params: Dict = {
+        "style_enc": _stack_trees(
+            [_rs_style_enc(sd, f"style_enc_list.{m}") for m in range(3)]
+        ),
+        "content_enc": _stack_trees(
+            [_rs_content_enc(sd, f"content_enc_list.{m}") for m in range(3)]
+        ),
+    }
+    for lvl in range(4):
+        params[f"content_attn{lvl}"] = _rs_basic(sd, f"content_attn.{lvl}")
+        params[f"content_share{lvl}"] = _rs_basic(sd, f"content_share.{lvl}")
+    for i in range(3):
+        params[f"recon{i}"] = _rs_recon(sd, f"recon_decoders.{i}")
+    segp: Dict = {
+        f"{g}_{i}": _rs_basic(sd, f"seg_decoder.{g}_{i}")
+        for g in ("c3", "c2", "c1")
+        for i in (1, 2, 3)
+    }
+    segp["final"] = _rs_basic(sd, "seg_decoder.final")
+    params["seg_decoder"] = segp
+    return {"params": params}
+
+
+# --- MultiSenseSeg (MultiSenseSeg.py:1137-1297) -----------------------------
+
+
+def _ln_params(sd, key) -> Dict:
+    """torch LayerNorm -> {scale, bias}."""
+    return {"scale": _np(sd[f"{key}.weight"]), "bias": _np(sd[f"{key}.bias"])}
+
+
+def _mss_cba(sd, conv_key, bn_key=None) -> Tuple[Dict, Dict]:
+    """_ConvBNAct {conv[, bn]} from a torch conv (+BN) pair."""
+    p: Dict = {"conv": _conv2d(sd, conv_key)}
+    s: Dict = {}
+    if bn_key is not None:
+        p["bn"], s["bn"] = _bn(sd, bn_key)
+    return p, s
+
+
+def _mss_se(sd, key) -> Dict:
+    """SE_channel_attention (MultiSenseSeg.py:79-91) -> SEAttention: a
+    Sequential(avg_pool, conv, act, conv, sigmoid) — convs at 1 and 3."""
+    return {
+        "fc1": {"conv": _conv2d(sd, f"{key}.attn.1")},
+        "fc2": {"conv": _conv2d(sd, f"{key}.attn.3")},
+    }
+
+
+def _mss_mse(sd, key) -> Tuple[Dict, Dict]:
+    p: Dict = {}
+    s: Dict = {}
+    p["conv1"], s["conv1"] = _mss_cba(sd, f"{key}.conv1.0", f"{key}.conv1.1")
+    p["conv2"] = {"conv": _conv2d(sd, f"{key}.conv2")}
+    p["conv3_dw"], s["conv3_dw"] = _mss_cba(
+        sd, f"{key}.conv3.0", f"{key}.conv3.1"
+    )
+    p["conv3_pw"] = {"conv": _conv2d(sd, f"{key}.conv3.2")}
+    p["attn"] = _mss_se(sd, f"{key}.attn")
+    return p, s
+
+
+def _mss_amm(sd, key) -> Dict:
+    return {
+        "short_cut_conv": _conv2d(sd, f"{key}.short_cut_conv.0"),
+        "short_cut_ln": _ln_params(sd, f"{key}.short_cut_conv.1.1"),
+        "q": _conv2d(sd, f"{key}.q"),
+        "k": _conv2d(sd, f"{key}.k"),
+        "v": _conv2d(sd, f"{key}.v"),
+        "q_proj": _conv2d(sd, f"{key}.q_proj.1"),
+        "k_proj": _conv2d(sd, f"{key}.k_proj.1"),
+        "v_proj": _conv2d(sd, f"{key}.v_proj"),
+        "logit_scale": _np(sd[f"{key}.logit_scale"]),
+        "cpb_fc1": {
+            "kernel": _linear(sd[f"{key}.cpb_mlp.0.weight"]),
+            "bias": _np(sd[f"{key}.cpb_mlp.0.bias"]),
+        },
+        "cpb_fc2": {"kernel": _linear(sd[f"{key}.cpb_mlp.2.weight"])},
+        "proj1": {"conv": _conv2d(sd, f"{key}.proj.0")},
+        "proj2": {"conv": _conv2d(sd, f"{key}.proj.2")},
+        "norm": _ln_params(sd, f"{key}.norm.1"),
+    }
+
+
+def _mss_block(sd, key) -> Tuple[Dict, Dict]:
+    p: Dict = {"norm1": _ln_params(sd, f"{key}.norm1")}
+    s: Dict = {}
+    p["attn"] = {
+        "qkv": {
+            "kernel": _linear(sd[f"{key}.attn.qkv.weight"]),
+            "bias": _np(sd[f"{key}.attn.qkv.bias"]),
+        },
+        "proj": {
+            "kernel": _linear(sd[f"{key}.attn.proj.weight"]),
+            "bias": _np(sd[f"{key}.attn.proj.bias"]),
+        },
+        "relative_position_bias_table": _np(
+            sd[f"{key}.attn.relative_position_bias_table"]
+        ),
+    }
+    # norm2 = Sequential(Rearrange, BatchNorm1d) (creat_norm_layer 'BN' token)
+    p["norm2"], s["norm2"] = _bn(sd, f"{key}.norm2.1")
+    mp: Dict = {"convup": {"conv": _conv2d(sd, f"{key}.mlp.convup.0")}}
+    ms: Dict = {}
+    mp["dw"], ms["dw"] = _mss_cba(
+        sd, f"{key}.mlp.dw_conv.0", f"{key}.mlp.dw_conv.1"
+    )
+    mp["convdown"] = {"conv": _conv2d(sd, f"{key}.mlp.convdown")}
+    p["mlp"], s["mlp"] = mp, ms
+    return p, s
+
+
+def _mss_backbone(sd, prefix, depths) -> Tuple[Dict, Dict]:
+    p: Dict = {}
+    s: Dict = {}
+    for li, depth in enumerate(depths):
+        for i in range(depth):
+            bp, bs = _mss_block(sd, f"{prefix}.layers.{li}.long_blocks.{i}")
+            p[f"stage{li}_block{i}"], s[f"stage{li}_block{i}"] = bp, bs
+        p[f"out_norm{li}"] = _ln_params(sd, f"{prefix}.norm{li}")
+        if li < len(depths) - 1:
+            p[f"merge{li}"] = {
+                "ln": _ln_params(sd, f"{prefix}.layers.{li}.downsample.ln"),
+                "reduction": {
+                    "kernel": _linear(
+                        sd[f"{prefix}.layers.{li}.downsample.reduction.weight"]
+                    )
+                },
+            }
+    return p, s
+
+
+def multisenseseg_variables_from_state_dict(state_dict: Mapping,
+                                            depths=(2, 2, 8, 2)) -> Dict:
+    """Reference MultiSenseSeg (MultiSenseSeg.py:1137-1297) ``state_dict``
+    -> :class:`corrifnet_tpu.models.multisenseseg.MultiSenseSeg`
+    ``variables``. The angular positional scalars are plain-list
+    nn.Parameters in the reference (never registered, MultiSenseSeg.py:
+    1100-1101) so they are absent from the state_dict on both sides; the
+    AMM relative_position_bias buffer is reproduced statically."""
+    sd = state_dict
+    params: Dict = {}
+    stats: Dict = {}
+    for i in range(3):
+        params[f"MSE{i}"], stats[f"MSE{i}"] = _mss_mse(
+            sd, f"build_MSEs_AMM.MSEs.{i}"
+        )
+    params["smooth"], stats["smooth"] = _mss_cba(
+        sd, "build_MSEs_AMM.smooth.0", "build_MSEs_AMM.smooth.1"
+    )
+    params["AMM"] = _mss_amm(sd, "build_MSEs_AMM.fuse_proj")
+    params["backbone"], stats["backbone"] = _mss_backbone(
+        sd, "build_pipeline", depths
+    )
+
+    ppm_p: Dict = {
+        f"pool_proj{i}": _conv2d(sd, f"build_neck.ppm_head.pool_projs.{i}.1")
+        for i in range(4)
+    }
+    ppm_s: Dict = {}
+    ppm_p["bottom"], ppm_s["bottom"] = _mss_cba(
+        sd, "build_neck.ppm_head.bottom.0", "build_neck.ppm_head.bottom.1"
+    )
+    params["ppm"], stats["ppm"] = ppm_p, ppm_s
+
+    fpn_p: Dict = {}
+    fpn_s: Dict = {}
+    for i in range(len(depths) - 1):
+        fpn_p[f"conv_{i}"], fpn_s[f"conv_{i}"] = _mss_cba(
+            sd, f"build_neck.fpn_neck.conv_.{i}.0",
+            f"build_neck.fpn_neck.conv_.{i}.1",
+        )
+        fpn_p[f"fpn_conv{i}"], fpn_s[f"fpn_conv{i}"] = _mss_cba(
+            sd, f"build_neck.fpn_neck.fpn_conv.{i}.0",
+            f"build_neck.fpn_neck.fpn_conv.{i}.1",
+        )
+    fpn_p["out"], fpn_s["out"] = _mss_cba(
+        sd, "build_neck.fpn_neck.out.0", "build_neck.fpn_neck.out.1"
+    )
+    params["fpn"], stats["fpn"] = fpn_p, fpn_s
+
+    d = "build_decode_head"
+    dp: Dict = {}
+    ds: Dict = {}
+    dp["conv"], ds["conv"] = _mss_cba(sd, f"{d}.conv.0", f"{d}.conv.1")
+    dp["sa_conv1"] = _conv2d(sd, f"{d}.spat_attn.conv1.1")
+    dp["sa_bn1"], ds["sa_bn1"] = _bn(sd, f"{d}.spat_attn.conv1.2")
+    dp["sa_conv2"], ds["sa_conv2"] = _mss_cba(
+        sd, f"{d}.spat_attn.conv2.0", f"{d}.spat_attn.conv2.1"
+    )
+    dp["sa_attn"], ds["sa_attn"] = _mss_cba(
+        sd, f"{d}.spat_attn.attn.1", f"{d}.spat_attn.attn.2"
+    )
+    dp["chan_attn"] = _mss_se(sd, f"{d}.chan_attn")
+    dp["dw1"], ds["dw1"] = _mss_cba(sd, f"{d}.dwconv.0", f"{d}.dwconv.1")
+    dp["dw2"] = {"conv": _conv2d(sd, f"{d}.dwconv.2")}
+    dp["out_conv"] = {"conv": _conv2d(sd, f"{d}.out.1")}
+    params["decode_gate"], stats["decode_gate"] = dp, ds
+
+    if "aux_out.0.weight" in sd:
+        params["aux_conv"], stats["aux_conv"] = _mss_cba(
+            sd, "aux_out.0", "aux_out.1"
+        )
+        params["aux_head"] = _conv2d(sd, "aux_out.3")
+    return {"params": params, "batch_stats": stats}

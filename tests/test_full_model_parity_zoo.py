@@ -265,3 +265,145 @@ def test_deeplab_full_forward_parity():
 
     assert out.shape == ref_out.shape == (1, 1, 64, 64)
     np.testing.assert_allclose(out, ref_out, atol=2e-5, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# RFNet (RFNet.py:287-317)
+# ---------------------------------------------------------------------------
+
+
+def test_rfnet_full_forward_parity():
+    """Exercises the prm gating (constant softmax over num_cls=1, quirk),
+    the gated modal_fusion weighted sum (+1e-7 math), region/shortcut
+    fusion, and the fixed-size trilinear decode cascade."""
+    from corrifnet_tpu.models.rfnet import RFNet
+    from corrifnet_tpu.models.torch_import import rfnet_variables_from_state_dict
+
+    ref = _load_reference("RFNet.py", "ref_rfnet")
+    torch.manual_seed(0)
+    model_t = ref.RFNet(num_cls=1)
+    x_np = np.random.default_rng(23).normal(
+        0, 1, (1, 3, 3, 224, 224)
+    ).astype(np.float32)
+
+    variables = rfnet_variables_from_state_dict(model_t.state_dict())
+    ref_out, out = _forward_pair(model_t, RFNet(num_cls=1), variables, x_np)
+
+    assert out.shape == ref_out.shape == (1, 3, 1, 224, 224)
+    np.testing.assert_allclose(out, ref_out, atol=5e-5, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# RobustMseg (RobustSeg.py:8-95)
+# ---------------------------------------------------------------------------
+
+
+def test_robustseg_full_forward_parity():
+    """Exercises the shared-weight e{l}c1 double application, ZeroLayer
+    drop masking, sigmoid content attention, AdaIN recon decoders (conv1
+    branch overwritten quirk), and the U-Net mask decoder."""
+    from corrifnet_tpu.models.robustseg import RobustMseg
+    from corrifnet_tpu.models.torch_import import (
+        robustseg_variables_from_state_dict,
+    )
+
+    ref = _load_reference("RobustSeg.py", "ref_robustseg")
+    torch.manual_seed(0)
+    model_t = ref.RobustMseg()
+    x_np = np.random.default_rng(29).normal(
+        0, 1, (1, 3, 3, 64, 64)
+    ).astype(np.float32)
+
+    variables = robustseg_variables_from_state_dict(model_t.state_dict())
+    ref_out, out = _forward_pair(model_t, RobustMseg(), variables, x_np)
+
+    assert out.shape == ref_out.shape == (1, 3, 1, 64, 64)
+    np.testing.assert_allclose(out, ref_out, atol=5e-5, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# MultiSenseSeg (MultiSenseSeg.py:1137-1297)
+# ---------------------------------------------------------------------------
+
+
+def _stub_timm():
+    """timm is not installed; the reference only uses to_2tuple,
+    trunc_normal_ and DropPath from timm.models.layers."""
+    import types
+
+    import torch.nn as nn
+
+    class DropPath(nn.Module):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            if self.drop_prob == 0.0 or not self.training:
+                return x
+            keep = 1 - self.drop_prob
+            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+            mask = x.new_empty(shape).bernoulli_(keep)
+            return x * mask / keep
+
+    layers = types.ModuleType("timm.models.layers")
+    layers.to_2tuple = lambda v: tuple(v) if isinstance(v, (tuple, list)) else (v, v)
+    layers.trunc_normal_ = lambda t, std=1.0, **kw: torch.nn.init.trunc_normal_(
+        t, std=std
+    )
+    layers.DropPath = DropPath
+    models = types.ModuleType("timm.models")
+    models.layers = layers
+    timm = types.ModuleType("timm")
+    timm.models = models
+    sys.modules.setdefault("timm", timm)
+    sys.modules.setdefault("timm.models", models)
+    sys.modules.setdefault("timm.models.layers", layers)
+
+
+def test_multisenseseg_full_forward_parity():
+    """Exercises the MSE angular-positional heads, AMM cosine channel
+    attention (log-scaled logit temperature, continuous relative-position
+    bias MLP, inverted double softmax), the Swin FC-attention / CNN-FFN
+    backbone with the CNNMlp buffer-scramble quirk, PPM+FPN neck, and the
+    gated decode head."""
+    from corrifnet_tpu.models.multisenseseg import MultiSenseSeg
+    from corrifnet_tpu.models.torch_import import (
+        multisenseseg_variables_from_state_dict,
+    )
+
+    _stub_timm()
+    ref = _load_reference("MultiSenseSeg.py", "ref_multisenseseg")
+    torch.manual_seed(0)
+    model_t = ref.MultiSenseSeg(n_classes=1, n_branch=3, in_chans=(3, 3, 3))
+    x_np = np.random.default_rng(31).normal(
+        0, 1, (1, 3, 3, 64, 64)
+    ).astype(np.float32)
+
+    # populate BN running stats (see the DeepLab test for why)
+    for m in model_t.modules():
+        if isinstance(m, (torch.nn.BatchNorm2d, torch.nn.BatchNorm1d)):
+            m.momentum = 1.0
+    model_t.train()
+    with torch.no_grad():
+        model_t([torch.from_numpy(x_np[:, i]) for i in range(3)])
+
+    variables = multisenseseg_variables_from_state_dict(model_t.state_dict())
+    model_t.eval()
+    with torch.no_grad():
+        ref_out = model_t(
+            [torch.from_numpy(x_np[:, i]) for i in range(3)]
+        )
+        if isinstance(ref_out, (tuple, list)):
+            ref_out = torch.stack(list(ref_out), dim=1)
+        ref_out = ref_out.numpy()
+
+    import jax.numpy as jnp
+
+    jm = MultiSenseSeg(n_classes=1)
+    out = np.asarray(jm.apply(variables, jnp.asarray(x_np), False))
+
+    assert out.shape[-2:] == ref_out.shape[-2:]
+    np.testing.assert_allclose(
+        out.reshape(ref_out.shape), ref_out, atol=5e-5, rtol=0
+    )
