@@ -1,0 +1,88 @@
+"""Checkpoint-migration CLI: reference torch .pt -> framework Orbax
+checkpoint, round-tripped through the real Checkpointer and verified
+against the torch forward (the product-path version of the parity tests)."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REFERENCE_DIR = "/root/reference"
+
+
+def _load_reference_unetv2():
+    spec = importlib.util.spec_from_file_location(
+        "ref_unetv2_ic", f"{REFERENCE_DIR}/F9_UNET_V2_3.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_unetv2_ic"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_import_cli_roundtrip_unetv2(tmp_path):
+    """torch.save -> CLI main() -> Checkpointer.restore -> forward matches
+    the torch reference."""
+    import jax.numpy as jnp
+
+    from corrifnet_tpu.models.unet import UNetV2
+    from corrifnet_tpu.run.import_checkpoint import main
+    from corrifnet_tpu.train.checkpoint import Checkpointer
+
+    ref = _load_reference_unetv2()
+    torch.manual_seed(0)
+    model_t = ref.UNetV2(classes=1).eval()
+    pt = tmp_path / "Finaliremmodel0.pt"
+    torch.save(model_t.state_dict(), pt)
+
+    run_dir = tmp_path / "run"
+    rc = main([
+        "UNetV2", str(pt), str(run_dir), "--name", "Finaliremmodel0",
+        "--lim", "64",
+    ])
+    assert rc == 0
+
+    ck = Checkpointer(str(run_dir))
+    params, batch_stats = ck.restore("Finaliremmodel0")
+    ck.close()
+
+    x_np = np.random.default_rng(41).normal(0, 1, (1, 3, 64, 64)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        want = model_t(torch.from_numpy(x_np)).numpy()
+    got = np.asarray(
+        UNetV2(classes=1).apply(
+            {"params": params, "batch_stats": batch_stats},
+            jnp.asarray(x_np), False,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=0)
+
+
+def test_import_cli_rejects_unknown_model(tmp_path):
+    from corrifnet_tpu.run.import_checkpoint import import_checkpoint
+
+    with pytest.raises(KeyError, match="no torch converter"):
+        import_checkpoint("LoRA_ViT", "/nonexistent.pt", str(tmp_path))
+
+
+def test_import_cli_rejects_wrong_shapes(tmp_path):
+    """A state_dict from a different classes count fails shape validation
+    BEFORE anything is written."""
+    from corrifnet_tpu.run.import_checkpoint import import_checkpoint
+
+    ref = _load_reference_unetv2()
+    torch.manual_seed(0)
+    model_t = ref.UNetV2(classes=4)
+    pt = tmp_path / "bad.pt"
+    torch.save(model_t.state_dict(), pt)
+    run_dir = tmp_path / "run"
+    with pytest.raises(ValueError, match="does not match"):
+        import_checkpoint("UNetV2", str(pt), str(run_dir), lim=64)
+    assert not (run_dir / "Finaliremmodel0").exists()
