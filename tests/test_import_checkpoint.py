@@ -86,3 +86,39 @@ def test_import_cli_rejects_wrong_shapes(tmp_path):
     with pytest.raises(ValueError, match="does not match"):
         import_checkpoint("UNetV2", str(pt), str(run_dir), lim=64)
     assert not (run_dir / "Finaliremmodel0").exists()
+
+
+def test_imported_checkpoint_flows_through_evaluate(tmp_path):
+    """Full migration workflow: reference .pt -> import CLI -> run.evaluate
+    recomputes per-image Jaccard2+F1 on the imported weights (the
+    allJaccardResults surface, allJaccardResults:197-240)."""
+    from corrifnet_tpu.config import ExperimentConfig
+    from corrifnet_tpu.run.evaluate import evaluate_run
+    from corrifnet_tpu.run.import_checkpoint import import_checkpoint
+
+    ref = _load_reference_unetv2()
+    torch.manual_seed(2)
+    model_t = ref.UNetV2(classes=1)
+    pt = tmp_path / "Finaliremmodel0.pt"
+    torch.save(model_t.state_dict(), pt)
+
+    run_dir = tmp_path / "imported"
+    import_checkpoint("UNetV2", str(pt), str(run_dir))
+
+    from corrifnet_tpu.data import crossval as cv
+    from corrifnet_tpu.data import write_permutation
+
+    write_permutation(16, tmp_path, seed=1)
+    cfg = ExperimentConfig(
+        train_set_size=16, fno=1, fsiz=4, modeltype="UNetV2",
+        synthetic_seed=0, dtype="float32",
+    )
+    old_dir = cv._SPLITS_DIR
+    cv._SPLITS_DIR = tmp_path
+    try:
+        r = evaluate_run(str(run_dir), cfg, index=0)
+    finally:
+        cv._SPLITS_DIR = old_dir
+    assert r["n_images"] == 4
+    assert 0.0 <= r["jaccard_mean"] <= 1.0
+    assert 0.0 <= r["f1_mean"] <= 1.0
