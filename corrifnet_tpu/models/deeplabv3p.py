@@ -172,6 +172,7 @@ class DeepLabV3Plus(fnn.Module):
     num_classes: int = 1
     small: bool = True
     pretrained: bool = False  # accepted for API parity; weights unavailable
+    drop_rate: float = 0.5  # head dropout (reference hard-codes 0.5)
     dtype: Dtype = None
 
     @fnn.compact
@@ -200,20 +201,20 @@ class DeepLabV3Plus(fnn.Module):
         f = jnp.concatenate(branches, axis=-1)  # 1280
         f = Conv(256, 1, dtype=dt, name="fc1")(f)
         f = jax.nn.relu(bn(f, "fc1_bn"))
-        f = fnn.Dropout(0.5, name="fc1_drop")(f, deterministic=det)
+        f = fnn.Dropout(self.drop_rate, name="fc1_drop")(f, deterministic=det)
         f = resize_linear(
             f, (f.shape[1] * 4, f.shape[2] * 4), align_corners=False
         )
 
         lo = Conv(48, 1, dtype=dt, name="reduce_conv2")(low)
         lo = jax.nn.relu(bn(lo, "reduce_bn"))
-        lo = fnn.Dropout(0.5, name="reduce_drop")(lo, deterministic=det)
+        lo = fnn.Dropout(self.drop_rate, name="reduce_drop")(lo, deterministic=det)
 
         f = jnp.concatenate([f, lo], axis=-1)  # 304
         for i in range(2):
             f = Conv(256, 3, padding=1, dtype=dt, name=f"last_conv{i}")(f)
             f = jax.nn.relu(bn(f, f"last_bn{i}"))
-            f = fnn.Dropout(0.5, name=f"last_drop{i}")(f, deterministic=det)
+            f = fnn.Dropout(self.drop_rate, name=f"last_drop{i}")(f, deterministic=det)
         f = Conv(self.num_classes, 1, dtype=dt, name="classifier")(f)
         f = resize_linear(
             f, (f.shape[1] * 4, f.shape[2] * 4), align_corners=False

@@ -407,3 +407,102 @@ def test_multisenseseg_full_forward_parity():
     np.testing.assert_allclose(
         out.reshape(ref_out.shape), ref_out, atol=5e-5, rtol=0
     )
+
+
+def test_deeplab_train_dynamics_match_reference():
+    """Training-mode parity vs torch autograd for DeepLabv3_plus: same
+    loss, same BN running-stat updates, same gradient direction — proves
+    the inplace-ReLU aliasing fixes carry into the BACKWARD pass (the
+    relu'd skip/low-level paths change where gradient flows)."""
+    import jax
+    import jax.numpy as jnp
+
+    from corrifnet_tpu.metrics.losses import bce_with_logits
+    from corrifnet_tpu.models.deeplabv3p import DeepLabV3Plus
+    from corrifnet_tpu.models.torch_import import (
+        deeplab_variables_from_state_dict,
+    )
+
+    ref = _load_reference(
+        "F14_DEEPLABV3PLUS_V4_xception.py", "ref_deeplab_dyn",
+        stubs=("torchvision", "torchvision.models"),
+    )
+    torch.manual_seed(0)
+    model_t = ref.DeepLabv3_plus(num_classes=1, pretrained=False)
+    import copy
+
+    sd0 = copy.deepcopy(model_t.state_dict())
+
+    # BN train mode (batch stats + running update); dropout off
+    model_t.eval()
+    for m in model_t.modules():
+        if isinstance(m, torch.nn.modules.batchnorm._BatchNorm):
+            m.train()
+
+    rng = np.random.default_rng(43)
+    x_np = rng.normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    target_np = (rng.random((2, 1, 64, 64)) > 0.7).astype(np.float32)
+
+    out_t = model_t(torch.from_numpy(x_np))
+    loss_t = torch.nn.BCEWithLogitsLoss()(out_t, torch.from_numpy(target_np))
+    loss_t.backward()
+    sd_after = model_t.state_dict()
+    named = dict(model_t.named_parameters())
+    grad_sd = {
+        k: (named[k].grad if k in named and named[k].grad is not None
+            else torch.zeros_like(v) if k in named else v)
+        for k, v in sd_after.items()
+    }
+
+    variables = deeplab_variables_from_state_dict(sd0)
+    jm = DeepLabV3Plus(num_classes=1, drop_rate=0.0)
+    x = jnp.asarray(x_np)
+    target = jnp.asarray(target_np)
+
+    def loss_fn(params):
+        out, mut = jm.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)},
+        )
+        return (
+            bce_with_logits(out.astype(jnp.float32), target).mean(),
+            mut["batch_stats"],
+        )
+
+    (loss_j, bs_j), grads_j = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"]
+    )
+
+    np.testing.assert_allclose(float(loss_j), float(loss_t), atol=2e-5)
+
+    bs_ref = deeplab_variables_from_state_dict(sd_after)["batch_stats"]
+    for (p, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(bs_ref),
+        jax.tree_util.tree_leaves_with_path(bs_j),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4,
+            err_msg=str(p),
+        )
+
+    g_ref = deeplab_variables_from_state_dict(grad_sd)["params"]
+    ref_leaves = jax.tree_util.tree_leaves_with_path(g_ref)
+    j_leaves = jax.tree_util.tree_leaves_with_path(grads_j)
+    assert [p for p, _ in ref_leaves] == [p for p, _ in j_leaves]
+    num = den_a = den_b = 0.0
+    rows = []
+    for (p, a), (_, b) in zip(ref_leaves, j_leaves):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        num += float(a @ b)
+        den_a += float(a @ a)
+        den_b += float(b @ b)
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na > 0 and nb > 0:
+            rows.append((na, float(a @ b) / (na * nb), str(p)))
+    global_cos = num / (den_a ** 0.5 * den_b ** 0.5)
+    assert global_cos > 0.998, global_cos
+    rows.sort(reverse=True)
+    for na, cos, p in rows[:40]:
+        assert cos > 0.995, (p, cos, na)
