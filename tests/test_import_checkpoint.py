@@ -122,3 +122,82 @@ def test_imported_checkpoint_flows_through_evaluate(tmp_path):
     assert r["n_images"] == 4
     assert 0.0 <= r["jaccard_mean"] <= 1.0
     assert 0.0 <= r["f1_mean"] <= 1.0
+
+
+def _build_reference_model(modeltype):
+    """Construct the torch reference implementation for any zoo model id
+    (stubbing absent third-party deps)."""
+    import types
+
+    def load(fname, name, stubs=()):
+        for stub in stubs:
+            mod = types.ModuleType(stub)
+            mod.__getattr__ = lambda n: (lambda *a, **k: None)
+            sys.modules.setdefault(stub, mod)
+        spec = importlib.util.spec_from_file_location(
+            name, f"{REFERENCE_DIR}/{fname}"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    torch.manual_seed(0)
+    if modeltype == "MMVit4":
+        from test_full_model_parity import _load_reference_mmvit4
+
+        return _load_reference_mmvit4().MMVit4(num_cls=1)
+    if modeltype in ("MMVit2", "mmformer"):
+        fname = "mmmvit2.py" if modeltype == "MMVit2" else "mmformer.py"
+        mod = load(fname, f"ref_ic_{modeltype}")
+        return getattr(mod, "MMVit2" if modeltype == "MMVit2" else "mmformer")(
+            num_cls=1
+        )
+    if modeltype == "RFNet":
+        return load("RFNet.py", "ref_ic_rfnet").RFNet(num_cls=1)
+    if modeltype == "RobustMseg":
+        return load("RobustSeg.py", "ref_ic_robustseg").RobustMseg()
+    if modeltype == "MultiSenseSeg":
+        from test_full_model_parity_zoo import _stub_timm
+
+        _stub_timm()
+        return load("MultiSenseSeg.py", "ref_ic_mss").MultiSenseSeg(
+            n_classes=1, n_branch=3, in_chans=(3, 3, 3)
+        )
+    if modeltype == "UNetV2":
+        return load("F9_UNET_V2_3.py", "ref_ic_unet").UNetV2(classes=1)
+    if modeltype == "DeepLabv3_plus":
+        return load(
+            "F14_DEEPLABV3PLUS_V4_xception.py", "ref_ic_dl",
+            stubs=("torchvision", "torchvision.models"),
+        ).DeepLabv3_plus(num_classes=1, pretrained=False)
+    if modeltype == "Segformer":
+        return load("segformer.py", "ref_ic_seg").Segformer(num_classes=1)
+    if modeltype == "FASSDNet":
+        return load("F28_FASSDNet.py", "ref_ic_fassd").FASSDNet(n_classes=1)
+    if modeltype == "ENet":
+        return load("F29_ENet.py", "ref_ic_enet",
+                    stubs=("torchsummary",)).ENet(classes=1)
+    if modeltype == "ELANet":
+        return load("F30_ELANet.py", "ref_ic_ela",
+                    stubs=("torchsummary",)).ELANet(classes=1)
+    raise KeyError(modeltype)
+
+
+@pytest.mark.parametrize("modeltype", [
+    "MMVit4", "MMVit2", "mmformer", "RFNet", "RobustMseg", "MultiSenseSeg",
+    "UNetV2", "DeepLabv3_plus", "Segformer", "FASSDNet", "ENet", "ELANet",
+])
+def test_import_cli_accepts_every_zoo_model(modeltype, tmp_path):
+    """Every zoo model's reference checkpoint imports and shape-validates
+    against the framework model's init tree (lim=64 keeps this fast; the
+    trees are input-size independent)."""
+    from corrifnet_tpu.run.import_checkpoint import import_checkpoint
+
+    model_t = _build_reference_model(modeltype)
+    pt = tmp_path / "ref.pt"
+    torch.save(model_t.state_dict(), pt)
+    path = import_checkpoint(
+        modeltype, str(pt), str(tmp_path / "out"), lim=64
+    )
+    assert (tmp_path / "out" / "Finaliremmodel0").exists(), path
