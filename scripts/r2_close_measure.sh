@@ -38,3 +38,11 @@ BENCH_DEPTH=full BENCH_BATCH=8 timeout 3600 python bench.py
 # 3. if fusebn won in (1): flip the MMVit4 default + bench again, then
 #    re-record the dryrun loss (expect a 3rd-4th decimal reassociation
 #    shift; update CLAUDE.md + __graft_entry__ docs).
+
+# 4. zoo-matrix refresh for the three models whose semantics were fixed by
+#    the round-2 parity campaign (DeepLab inplace-ReLU aliasing, RFNet gated
+#    modal_fusion, MultiSenseSeg decode gate) — the earlier matrix rows
+#    measured the pre-fix models.
+MODELS_OVERRIDE="DeepLabv3_plus RFNet MultiSenseSeg" \
+  timeout 5400 bash scripts/zoo_matrix.sh /tmp/zoo_refix || true
+cat /tmp/zoo_refix/zoo_matrix.tsv || true

@@ -18,7 +18,7 @@ import numpy as np
 open('randInd16.txt','w').write('\n'.join(map(str, np.random.default_rng(0).permutation(16))))
 EOF
 
-MODELS="MMVit4 MMVit2 mmformer RFNet RobustMseg MultiSenseSeg UNetV2 DeepLabv3_plus Segformer FASSDNet ENet ELANet MMVit4"
+MODELS=${MODELS_OVERRIDE:-"MMVit4 MMVit2 mmformer RFNet RobustMseg MultiSenseSeg UNetV2 DeepLabv3_plus Segformer FASSDNet ENet ELANet MMVit4"}
 : > zoo_matrix.tsv
 i=0
 for M in $MODELS; do
