@@ -37,8 +37,20 @@ def read_manifest(path):
 
 
 def per_image_metrics(model, params, batch_stats, images, masks, indices,
-                      batch_size=8):
-    """Per-image (jaccard2, f1) over ``indices`` (allJaccardResults:208-240)."""
+                      batch_size=8, mesh=None):
+    """Per-image (jaccard2, f1) over ``indices`` (allJaccardResults:208-240).
+
+    With ``mesh`` (a ('data', 'model') Mesh), evaluation runs data-parallel:
+    weights replicated, each static-size batch sharded over the data axis —
+    the per-image metric math is embarrassingly parallel, so re-evaluating
+    a large test fold scales with chip count. Sharded == unsharded
+    (tests/test_evaluate.py)."""
+    if mesh is not None:
+        from corrifnet_tpu.parallel.sharding import put_batch, replicated
+
+        params = jax.device_put(params, replicated(mesh))
+        batch_stats = jax.device_put(batch_stats, replicated(mesh))
+
     @jax.jit
     def step(im, ma):
         out = model.apply(
@@ -50,7 +62,10 @@ def per_image_metrics(model, params, batch_stats, images, masks, indices,
 
     jacks, f1s = [], []
     for batch in make_batches(images, masks, indices, batch_size):
-        j, f = step(batch.images, batch.masks)
+        im, ma = batch.images, batch.masks
+        if mesh is not None:
+            im, ma = put_batch(mesh, im, ma)
+        j, f = step(im, ma)
         keep = batch.valid.astype(bool)
         jacks.append(np.asarray(j).reshape(-1)[keep])
         f1s.append(np.asarray(f).reshape(-1)[keep])
@@ -78,7 +93,15 @@ def evaluate_run(run_dir, cfg, index: int = 0, segplot_dir=None):
         final_ckpt_name(index),
         {"params": state.params, "batch_stats": state.batch_stats},
     )
-    jacks, f1s = per_image_metrics(model, params, batch_stats, images, masks, tsind)
+    mesh = None
+    if cfg.mesh_shape:
+        from corrifnet_tpu.parallel import make_mesh
+
+        mesh = make_mesh(tuple(cfg.mesh_shape))
+    jacks, f1s = per_image_metrics(
+        model, params, batch_stats, images, masks, tsind,
+        batch_size=max(cfg.mini_batch_size, 8), mesh=mesh,
+    )
 
     if segplot_dir is not None and spec.input_kind == "5d":
         # optional per-image overlays (allJaccardResults' segplot2 path)

@@ -49,3 +49,25 @@ def test_read_manifest(tmp_path):
     p = tmp_path / "irem-input-dstl.txt"
     p.write_text("runA\n/path/a\nrunB\n/path/b\n")
     assert read_manifest(p) == [("runA", "/path/a"), ("runB", "/path/b")]
+
+
+def test_per_image_metrics_sharded_equals_unsharded():
+    """Data-parallel evaluation over an 8-virtual-device ('data','model')
+    mesh produces the same per-image metrics as single-device."""
+    from corrifnet_tpu.parallel import make_mesh
+
+    d = synthetic_dstl(12, lim=16, seed=3)
+    model = TinySeg5D()
+    variables = model.init({"params": jax.random.PRNGKey(1)},
+                           jnp.asarray(d.images[:1]), False)
+    idx = np.arange(12)
+    base_j, base_f = per_image_metrics(
+        model, variables["params"], {}, d.images, d.masks, idx, batch_size=8
+    )
+    mesh = make_mesh((4, 2))
+    sh_j, sh_f = per_image_metrics(
+        model, variables["params"], {}, d.images, d.masks, idx,
+        batch_size=8, mesh=mesh,
+    )
+    np.testing.assert_allclose(sh_j, base_j, rtol=1e-6)
+    np.testing.assert_allclose(sh_f, base_f, rtol=1e-6)
