@@ -570,3 +570,68 @@ def test_rfnet_train_dynamics_match_reference():
     rows.sort(reverse=True)
     for na, cos, p in rows[:40]:
         assert cos > 0.995, (p, cos, na)
+
+
+def test_segformer_train_dynamics_match_reference():
+    """One-step gradient parity for Segformer (no BN buffers, no dropout —
+    deterministic train mode): spatial-reduction attention, channel
+    LayerNorm, and grouped depthwise FFN backward-match torch autograd."""
+    import jax
+    import jax.numpy as jnp
+
+    from corrifnet_tpu.metrics.losses import bce_with_logits
+    from corrifnet_tpu.models.segformer import Segformer
+    from corrifnet_tpu.models.torch_import import (
+        segformer_variables_from_state_dict,
+    )
+
+    ref = _load_reference("segformer.py", "ref_segformer_dyn")
+    torch.manual_seed(0)
+    model_t = ref.Segformer(num_classes=1).train()
+
+    rng = np.random.default_rng(53)
+    x_np = rng.normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    target_np = (rng.random((2, 1, 224, 224)) > 0.7).astype(np.float32)
+
+    out_t = model_t(torch.from_numpy(x_np))
+    loss_t = torch.nn.BCEWithLogitsLoss()(out_t, torch.from_numpy(target_np))
+    loss_t.backward()
+    named = dict(model_t.named_parameters())
+    grad_sd = {
+        k: (v.grad if v.grad is not None else torch.zeros_like(v))
+        for k, v in named.items()
+    }
+
+    variables = segformer_variables_from_state_dict(model_t.state_dict())
+
+    def loss_fn(params):
+        out = Segformer(num_classes=1).apply(
+            {"params": params}, jnp.asarray(x_np), True
+        )
+        return bce_with_logits(
+            out.astype(jnp.float32), jnp.asarray(target_np)
+        ).mean()
+
+    loss_j, grads_j = jax.value_and_grad(loss_fn)(variables["params"])
+    np.testing.assert_allclose(float(loss_j), float(loss_t), atol=2e-5)
+
+    g_ref = segformer_variables_from_state_dict(grad_sd)["params"]
+    ref_leaves = jax.tree_util.tree_leaves_with_path(g_ref)
+    j_leaves = jax.tree_util.tree_leaves_with_path(grads_j)
+    assert [p for p, _ in ref_leaves] == [p for p, _ in j_leaves]
+    num = den_a = den_b = 0.0
+    rows = []
+    for (p, a), (_, b) in zip(ref_leaves, j_leaves):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        num += float(a @ b)
+        den_a += float(a @ a)
+        den_b += float(b @ b)
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na > 0 and nb > 0:
+            rows.append((na, float(a @ b) / (na * nb), str(p)))
+    global_cos = num / (den_a ** 0.5 * den_b ** 0.5)
+    assert global_cos > 0.998, global_cos
+    rows.sort(reverse=True)
+    for na, cos, p in rows[:40]:
+        assert cos > 0.995, (p, cos, na)
