@@ -94,13 +94,16 @@ def evaluate_run(run_dir, cfg, index: int = 0, segplot_dir=None):
         {"params": state.params, "batch_stats": state.batch_stats},
     )
     mesh = None
+    bs = max(cfg.mini_batch_size, 8)
     if cfg.mesh_shape:
         from corrifnet_tpu.parallel import make_mesh
 
         mesh = make_mesh(tuple(cfg.mesh_shape))
+        data_n = mesh.devices.shape[0]
+        bs = -(-bs // data_n) * data_n  # round up: shardable over 'data'
     jacks, f1s = per_image_metrics(
         model, params, batch_stats, images, masks, tsind,
-        batch_size=max(cfg.mini_batch_size, 8), mesh=mesh,
+        batch_size=bs, mesh=mesh,
     )
 
     if segplot_dir is not None and spec.input_kind == "5d":
