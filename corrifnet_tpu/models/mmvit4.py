@@ -91,7 +91,7 @@ class MMVit4(fnn.Module):
     dtype: Dtype = None
     use_pallas: bool = True
     depth_mode: str = "pruned"  # decoder depth mode: 'full' | 'pruned'
-    remat_mode: str = "all"  # encoder scan remat: 'all' | 'early' | 'none'
+    remat_mode: str = "all"  # encoder scan remat: 'all' | 'mid' | 'early' | 'none'
     scan_unroll: int = 1  # encoder tail-scan unroll factor; 0 = full unroll
     pack_stage1: bool = True  # stem+layer1 modality-packed (see PackedStage1)
     fuse_expand_bn: bool = False  # fold bn3/down_bn into convs (nn/fusedbn.py)
