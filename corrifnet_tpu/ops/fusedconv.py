@@ -221,7 +221,10 @@ def _pw_bwd_kernel(x_ref, a_ref, b_ref, w_ref, y_ref, dy_ref, ds_ref, dq_ref,
         preferred_element_type=jnp.float32,
     ).astype(dt)
     if relu_fma:
-        dpre = jnp.where(pre > 0, dz, 0)
+        # compare in f32: Mosaic on v5e rejects arith.cmpf on packed bf16
+        # vectors ("Target does not support this comparison"); the cast is
+        # exact, so the mask is unchanged.
+        dpre = jnp.where(pre.astype(jnp.float32) > 0.0, dz, 0)
         dx_ref[...] = dpre * a_ref[0, :].astype(dt)
         dpf = dpre.astype(jnp.float32)
         da_ref[...] += (dpf * x.astype(jnp.float32)).sum(axis=0, keepdims=True)
@@ -519,7 +522,8 @@ def _c3_bwd_kernel(x_ref, a_ref, b_ref, w_ref, y_ref, dy_ref, ds_ref, dq_ref,
                 preferred_element_type=jnp.float32,
             )
     dz = acc_ref[...].reshape(p, h, w, ci).astype(dt)
-    dpre = jnp.where(pre > 0, dz, 0)
+    # f32 compare: v5e Mosaic rejects cmpf on packed bf16 vectors
+    dpre = jnp.where(pre.astype(jnp.float32) > 0.0, dz, 0)
     dx_ref[...] = dpre * a_ref[0, :].astype(dt)
     dpf = dpre.astype(jnp.float32)
     da_ref[...] += (dpf * x.astype(jnp.float32)).sum(axis=(0, 1, 2))[None]
