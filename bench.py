@@ -31,6 +31,9 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_TARGET = 2000.0  # patches/sec/chip (BASELINE.json)
+# Single-chip speed-of-light: ~2.1 TFLOP/step at B=8 (cost_analysis) over
+# v5e peak ~197 bf16 TFLOP/s -> ~11 ms/step -> ~750 patches/s (BASELINE.md).
+SPEED_OF_LIGHT = 750.0
 
 
 def measure_roundtrip_floor(iters=10):
@@ -179,9 +182,16 @@ def _probe_levers(batch, best_base):
             for line in out.stdout.splitlines():
                 if line.startswith("ONECONF_RESULT "):
                     v = float(line.split()[1])
-            print(f"# lever {label}: {v:.2f}" if v else
-                  f"# lever {label} failed (rc={out.returncode})",
-                  file=sys.stderr)
+            if v:
+                print(f"# lever {label}: {v:.2f}", file=sys.stderr)
+            else:
+                # surface the child's failure — the stderr tail is the only
+                # diagnostic artifact (round-2's fusedblk rc=1 was a scoped
+                # VMEM overflow nobody could see)
+                print(f"# lever {label} failed (rc={out.returncode})",
+                      file=sys.stderr)
+                for ln in out.stderr.splitlines()[-15:]:
+                    print(f"#   {label}| {ln}", file=sys.stderr)
             results[label] = v
             best = max(best, v)
         except subprocess.TimeoutExpired:
@@ -224,8 +234,38 @@ def main():
             print(f"# batch {b} unroll {unroll}: {v:.2f}", file=sys.stderr)
             value = max(value, v)
         except Exception as e:  # noqa: BLE001 — e.g. OOM at larger sizes
-            print(f"# batch {b} unroll {unroll} failed: {type(e).__name__}",
+            print(f"# batch {b} unroll {unroll} failed: {type(e).__name__}:"
+                  f" {str(e).splitlines()[0][:160] if str(e) else ''}",
                   file=sys.stderr)
+            if b >= 16 and os.environ.get("CORRIFNET_ATTN_LSE", "1") != "0":
+                # the packed-LSE attention residual pushes the B>=16 program
+                # past the remote compile helper (NOTES.md); retry with the
+                # recompute backward in a subprocess (compiler faults can be
+                # sticky in-process)
+                print(f"# retrying batch {b} with CORRIFNET_ATTN_LSE=0",
+                      file=sys.stderr)
+                import subprocess
+                env = dict(os.environ)
+                env["CORRIFNET_ATTN_LSE"] = "0"
+                env["BENCH_ONECONF"] = f"{b},{unroll},all,0,0"
+                try:
+                    out = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__)],
+                        capture_output=True, text=True, timeout=900, env=env,
+                    )
+                    v = 0.0
+                    for line in out.stdout.splitlines():
+                        if line.startswith("ONECONF_RESULT "):
+                            v = float(line.split()[1])
+                    if v:
+                        print(f"# batch {b} unroll {unroll} (lse=0): {v:.2f}",
+                              file=sys.stderr)
+                        value = max(value, v)
+                    else:
+                        for ln in out.stderr.splitlines()[-8:]:
+                            print(f"#   lse0| {ln}", file=sys.stderr)
+                except subprocess.TimeoutExpired:
+                    print(f"# batch {b} lse=0 retry timed out", file=sys.stderr)
     if value == 0.0:
         raise RuntimeError("all benchmark batch sizes failed")
     try:
@@ -239,6 +279,7 @@ def main():
                 "value": round(value, 2),
                 "unit": "224x224 patches/sec/chip",
                 "vs_baseline": round(value / BASELINE_TARGET, 4),
+                "mfu": round(value / SPEED_OF_LIGHT, 4),
             }
         )
     )

@@ -59,7 +59,8 @@ class ExperimentConfig:
     pallas_fused_blocks: bool = False  # MMVit4: bottleneck convs via the
                                   # fused Pallas kernels (ops/fusedconv.py)
     remat_mode: str = "all"  # MMVit4 encoder remat: 'all' | 'mid' | 'early'
-                             # | 'none' (models/resnet3d.py)
+                             # | 'none' | 'mid1' (stage-1-scoped 'mid';
+                             # models/resnet3d.py, models/mmvit4.py)
     scan_unroll: int = 1     # MMVit4 encoder tail-scan unroll; 0 = full
                              # unroll (smaller device time, bigger program)
 

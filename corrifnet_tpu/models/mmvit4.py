@@ -91,7 +91,10 @@ class MMVit4(fnn.Module):
     dtype: Dtype = None
     use_pallas: bool = True
     depth_mode: str = "pruned"  # decoder depth mode: 'full' | 'pruned'
-    remat_mode: str = "all"  # encoder scan remat: 'all' | 'mid' | 'early' | 'none'
+    remat_mode: str = "all"  # encoder scan remat: 'all' | 'mid' | 'early' |
+    # 'none' | 'mid1' ('mid' for the packed stage 1 only, 'all' elsewhere —
+    # stage 1's bwd recompute is the big remat cost, ~7.9 of 74.7 ms at B=8,
+    # while storing layers 2-4's mid acts measured neutral-to-negative)
     scan_unroll: int = 1  # encoder tail-scan unroll factor; 0 = full unroll
     pack_stage1: bool = True  # stem+layer1 modality-packed (see PackedStage1)
     fuse_expand_bn: bool = False  # fold bn3/down_bn into convs (nn/fusedbn.py)
@@ -109,8 +112,9 @@ class MMVit4(fnn.Module):
             # <=64-channel streams run jointly at full lane width; unpack to
             # the per-modality vmapped form where widths >=128 take over.
             packed = jnp.transpose(x, (0, 2, 3, 4, 1)).astype(cdtype)
+            rm1 = "mid" if self.remat_mode == "mid1" else self.remat_mode
             x1p, y1p = PackedStage1(
-                modalities=3, remat_mode=self.remat_mode,
+                modalities=3, remat_mode=rm1,
                 fuse_expand_bn=self.fuse_expand_bn,
                 pallas_fused=self.pallas_fused_blocks, dtype=self.dtype,
                 name="packed_stage1",
@@ -132,7 +136,9 @@ class MMVit4(fnn.Module):
                 split_rngs={"params": True, "dropout": True},
             )
             e1, e2, e3, e4, e5, e6 = VEncoder(
-                remat_mode=self.remat_mode, scan_unroll=self.scan_unroll,
+                remat_mode=("all" if self.remat_mode == "mid1"
+                            else self.remat_mode),
+                scan_unroll=self.scan_unroll,
                 skip_stage1=True, fuse_expand_bn=self.fuse_expand_bn,
                 pallas_fused=self.pallas_fused_blocks,
                 dtype=self.dtype, name="encoders"
@@ -150,7 +156,9 @@ class MMVit4(fnn.Module):
                 split_rngs={"params": True, "dropout": True},
             )
             e1, e2, e3, e4, e5, e6 = VEncoder(
-                remat_mode=self.remat_mode, scan_unroll=self.scan_unroll,
+                remat_mode=("all" if self.remat_mode == "mid1"
+                            else self.remat_mode),
+                scan_unroll=self.scan_unroll,
                 fuse_expand_bn=self.fuse_expand_bn,
                 pallas_fused=self.pallas_fused_blocks,
                 dtype=self.dtype, name="encoders"

@@ -265,9 +265,21 @@ def max_pool_argmax(x, k: int, stride: int, padding: int):
     return vals, flat
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def max_unpool(x, indices, out_hw):
     """torch ``MaxUnpool2d``: scatter values to ``indices`` (flat H*W
-    positions) in a zero canvas of spatial size ``out_hw``. NHWC."""
+    positions) in a zero canvas of spatial size ``out_hw``. NHWC.
+
+    Custom VJP: torch's backward is a plain gather
+    (``grad_in[i] = grad_out[indices[i]]``), so when two pooled outputs
+    point at the SAME source element (overlapping k=3/s=2 windows make
+    duplicate indices common) BOTH writers receive the gradient. JAX's
+    native scatter-set VJP gives it to only one winner, which silently
+    drops gradient mass along ENet's unpool main branches."""
+    return _max_unpool_impl(x, indices, out_hw)
+
+
+def _max_unpool_impl(x, indices, out_hw):
     b, h, w, c = x.shape
     oh, ow = out_hw
     vals = x.transpose(0, 3, 1, 2).reshape(b * c, h * w)
@@ -276,3 +288,21 @@ def max_unpool(x, indices, out_hw):
     rows = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 0)
     canvas = canvas.at[rows, idx].set(vals)
     return canvas.reshape(b, c, oh, ow).transpose(0, 2, 3, 1)
+
+
+def _max_unpool_fwd(x, indices, out_hw):
+    return _max_unpool_impl(x, indices, out_hw), (indices, x.shape)
+
+
+def _max_unpool_bwd(out_hw, res, g):
+    indices, x_shape = res
+    b, h, w, c = x_shape
+    gf = g.transpose(0, 3, 1, 2).reshape(b * c, -1)
+    idx = indices.transpose(0, 3, 1, 2).reshape(b * c, h * w)
+    rows = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 0)
+    gx = gf[rows, idx].reshape(b, c, h, w).transpose(0, 2, 3, 1)
+    d_idx = np.zeros(indices.shape, jax.dtypes.float0)
+    return gx.astype(g.dtype), d_idx
+
+
+max_unpool.defvjp(_max_unpool_fwd, _max_unpool_bwd)

@@ -62,6 +62,26 @@ def _interpret():
     return pltpu.InterpretParams() if INTERPRET else False
 
 
+# Mosaic double-buffers EVERY in/out block (including constant-index-map
+# weight blocks — measured: the layer4 3x3 kernel's scoped allocation was
+# 18.23 MiB against a 10 MiB single-buffer estimate, the gap being 2x the
+# 4.5 MiB weight block plus 2x the x/y blocks). Estimates below count 2x
+# per in/out block and 1x per scratch, and the computed total is passed to
+# the compiler as the scoped-VMEM limit (v5e default 16 MiB, hardware
+# 128 MiB/core).
+_VMEM_BUDGET = 28 * 2 ** 20
+
+
+def _cp(est_bytes):
+    # 25% + 4 MiB headroom: Mosaic's stack accounting includes vector
+    # temps the block-level estimate can't see (measured: layer4 3x3 fwd
+    # allocated 25.25 MiB against an 18.95 MiB block estimate).
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=int(min(max(est_bytes * 5 // 4 + 4 * 2 ** 20,
+                                     16 * 2 ** 20), 100 * 2 ** 20))
+    )
+
+
 def _on_tpu():
     return jax.default_backend() not in ("cpu", "gpu")
 
@@ -147,13 +167,17 @@ def _pw_pallas(x, w, a, b, relu_fma):
     n, ci = x.shape
     co = w.shape[1]
     nb = min(_N_BLK, max(8, n))
-    # keep the resident set (double-buffered x/y blocks, the full kernel,
-    # and the f32 accumulator temp) under ~10 MB of VMEM
     esize = x.dtype.itemsize
-    while nb > 64 and (
-        2 * nb * (ci + co) * esize + ci * co * esize + nb * co * 4
-        > 10 * 2 ** 20
-    ):
+    wes = w.dtype.itemsize
+
+    def _est(blk):
+        # 2x per in/out block (x, a, b, w | y, s, q), 1x temps (z, f32 yf)
+        blocks = (blk * ci * esize + 2 * ci * 4 + ci * co * wes
+                  + blk * co * esize + 2 * co * 4)
+        temps = blk * ci * esize + blk * co * 4
+        return 2 * blocks + temps
+
+    while nb > 64 and _est(nb) > _VMEM_BUDGET:
         nb //= 2
     grid = (pl.cdiv(n, nb),)
     if a is None:
@@ -178,6 +202,7 @@ def _pw_pallas(x, w, a, b, relu_fma):
             jax.ShapeDtypeStruct((1, co), jnp.float32),
             jax.ShapeDtypeStruct((1, co), jnp.float32),
         ],
+        compiler_params=_cp(_est(nb)),
         interpret=_interpret(),
     )(x, a.reshape(1, ci), b.reshape(1, ci), w)
     return y, s[0], q[0]
@@ -238,11 +263,16 @@ def _pw_bwd_pallas(x, a, b, w, y, dy, ds, dq, relu_fma):
     co = w.shape[1]
     nb = min(_N_BLK, max(8, n))
     esize = x.dtype.itemsize
-    # resident: double-buffered x/y/dy/dx blocks + w + f32 dw/da/db + temps
-    while nb > 64 and (
-        2 * nb * (2 * ci + 2 * co) * esize + ci * co * (esize + 4)
-        + nb * (ci + co) * 4 > 10 * 2 ** 20
-    ):
+    wes = w.dtype.itemsize
+
+    def _est(blk):
+        # 2x per in/out block (x,a,b,w,y,dy,ds,dq | dx,dw,da,db), 1x temps
+        blocks = (2 * blk * ci * esize + 2 * blk * co * esize
+                  + ci * co * (wes + 4) + 4 * ci * 4 + 2 * co * 4)
+        temps = blk * (ci + co) * 4 + blk * (ci + co) * esize
+        return 2 * blocks + temps
+
+    while nb > 64 and _est(nb) > _VMEM_BUDGET:
         nb //= 2
     grid = (pl.cdiv(n, nb),)
     dx, dw, da, db = pl.pallas_call(
@@ -270,6 +300,7 @@ def _pw_bwd_pallas(x, a, b, w, y, dy, ds, dq, relu_fma):
             jax.ShapeDtypeStruct((1, ci), jnp.float32),
             jax.ShapeDtypeStruct((1, ci), jnp.float32),
         ],
+        compiler_params=_cp(_est(nb)),
         interpret=_interpret(),
     )(x, a.reshape(1, ci), b.reshape(1, ci), w, y, dy,
       ds.reshape(1, co), dq.reshape(1, co))
@@ -361,23 +392,27 @@ def pointwise_conv_stats(x, w, a: Optional[jnp.ndarray] = None,
 # ---------------------------------------------------------------------------
 
 
-def _c3_pick_p(batch, h, w, ci, co, esize, budget=10 * 2 ** 20):
-    """Images per program: fill ~2-4k matmul rows without blowing VMEM.
+def _c3_pick_p(batch, h, w, ci, co, esize, wes):
+    """Images per program + scoped-VMEM estimate: fill ~2-4k matmul rows
+    without blowing the budget.
 
-    Accounts for the z scratch ((p, H+2, W+2, ci)), the f32 accumulator,
-    the x/y blocks and the full kernel."""
-    kbytes = 9 * ci * co * esize
-    best = 1
+    Counts 2x for every in/out block (x, a, b, the weight, y, s, q — all
+    double-buffered by Mosaic) and 1x for the z scratch
+    ((p, H+2, W+2, ci)), the f32 accumulator and the prologue temp."""
+    kbytes = 9 * ci * co * wes
+    best, best_est = 1, None
     for p in range(1, batch + 1):
         zb = p * (h + 2) * (w + 2) * ci * esize
         acc = p * h * w * co * 4
         xy = p * h * w * (ci + co) * esize
-        if kbytes + zb + acc + xy > budget:
+        e = 2 * (xy + kbytes + 2 * ci * 4 + 2 * co * 4) + zb + acc \
+            + p * h * w * ci * esize + 2 * p * h * w * co * 4
+        if e > _VMEM_BUDGET and p > 1:
             break
-        best = p
+        best, best_est = p, e
         if p * h * w >= 2048:
             break
-    return best
+    return best, best_est
 
 
 def _c3_kernel(x_ref, a_ref, b_ref, w_ref, y_ref, s_ref, q_ref, z_ref,
@@ -418,7 +453,7 @@ def _c3_pallas(x, w, a, b):
     batch, h, ww, ci = x.shape
     co = w.shape[3]
     esize = x.dtype.itemsize
-    p = _c3_pick_p(batch, h, ww, ci, co, esize)
+    p, est = _c3_pick_p(batch, h, ww, ci, co, esize, w.dtype.itemsize)
     grid = (pl.cdiv(batch, p),)
     y, s, q = pl.pallas_call(
         functools.partial(_c3_kernel, batch=batch, h=h, w=ww),
@@ -446,6 +481,7 @@ def _c3_pallas(x, w, a, b):
             pltpu.VMEM((p, h + 2, ww + 2, ci), x.dtype),
             pltpu.VMEM((p * h * ww, co), jnp.float32),
         ],
+        compiler_params=_cp(est),
         interpret=_interpret(),
     )(x, a.reshape(1, ci), b.reshape(1, ci), w)
     return y, s[0], q[0]
@@ -530,23 +566,35 @@ def _c3_bwd_kernel(x_ref, a_ref, b_ref, w_ref, y_ref, dy_ref, ds_ref, dq_ref,
     db_ref[...] += dpf.sum(axis=(0, 1, 2))[None]
 
 
+def _c3_bwd_pick_p(batch, h, w, ci, co, esize, wes):
+    """Images per program + scoped-VMEM estimate for the 3x3 backward.
+
+    2x per in/out block (x, a, b, w, y, dy, ds, dq | dx, dw, da, db);
+    1x for the z/g/dz scratches and the f32 g/dpre temps. The fixed cost
+    is dominated by the double-buffered dw accumulator (9*ci*co f32) and
+    weight block — at layer4 (ci=co=512) that alone is ~28 MiB, which is
+    why the estimate (not a fixed gate) decides Pallas vs XLA fallback."""
+    fixed = 2 * (9 * ci * co * (esize + 4) + 4 * ci * 4 + 2 * co * 4)
+    best, best_est = 1, None
+    for p in range(1, batch + 1):
+        zb = p * (h + 2) * (w + 2) * (ci + co) * esize
+        acc = p * h * w * ci * 4
+        xy = 2 * p * h * w * (2 * ci + 2 * co) * esize
+        temps = p * h * w * (ci + co) * 4
+        e = fixed + zb + acc + xy + temps
+        if e > _VMEM_BUDGET and p > 1:
+            break
+        best, best_est = p, e
+        if p * h * w >= 2048:
+            break
+    return best, best_est
+
+
 def _c3_bwd_pallas(x, a, b, w, y, dy, ds, dq):
     batch, h, ww, ci = x.shape
     co = w.shape[3]
     esize = x.dtype.itemsize
-    # resident: z+g scratch, dz f32 scratch, dw f32, x/y/dy/dx blocks
-    fixed = 9 * ci * co * (esize + 4)
-    best = 1
-    for p in range(1, batch + 1):
-        zb = p * (h + 2) * (ww + 2) * (ci + co) * esize
-        acc = p * h * ww * ci * 4
-        xy = p * h * ww * (2 * ci + 2 * co) * esize
-        if fixed + zb + acc + xy > 10 * 2 ** 20:
-            break
-        best = p
-        if p * h * ww >= 2048:
-            break
-    p = best
+    p, est = _c3_bwd_pick_p(batch, h, ww, ci, co, esize, w.dtype.itemsize)
     grid = (pl.cdiv(batch, p),)
     dx, dw, da, db = pl.pallas_call(
         functools.partial(_c3_bwd_kernel, batch=batch, h=h, w=ww),
@@ -584,6 +632,7 @@ def _c3_bwd_pallas(x, a, b, w, y, dy, ds, dq):
             pltpu.VMEM((p, h + 2, ww + 2, co), x.dtype),
             pltpu.VMEM((p * h * ww, ci), jnp.float32),
         ],
+        compiler_params=_cp(est),
         interpret=_interpret(),
     )(x, a.reshape(1, ci), b.reshape(1, ci), w, y, dy,
       ds.reshape(1, co), dq.reshape(1, co))
@@ -596,11 +645,17 @@ def _c3_bwd(res, cts):
     ci, co = w.shape[2], w.shape[3]
     import os
 
-    # Pallas bwd only where the 9 f32 dw accumulators fit the budget
-    # (layers 1-2 shapes — where the tensors, and the win, are big)
+    # Pallas bwd only where even the single-image-per-program estimate
+    # fits a generous scoped-VMEM ceiling (layer4's double-buffered dw
+    # accumulator + weight block alone is ~28 MiB — still fine; shapes
+    # beyond ~64 MiB fall back to the XLA composition)
+    _, est1 = _c3_bwd_pick_p(
+        x.shape[0], x.shape[1], x.shape[2], ci, co, x.dtype.itemsize,
+        w.dtype.itemsize,
+    )
     if (
         (_on_tpu() or INTERPRET)
-        and 9 * ci * co * 4 <= 4 * 2 ** 20
+        and est1 <= 64 * 2 ** 20
         and os.environ.get("CORRIFNET_FUSED_C3", "pallas") != "xla"
     ):
         dx, dw, da, db = _c3_bwd_pallas(x, a, b, w, y, dy, ds, dq)
