@@ -83,7 +83,10 @@ def bench_train_step(batch_size=8, chain=10, iters=3, rt_floor=0.0,
 
     optimizer = make_optimizer("Adam")
     state = init_state(model, jax.random.PRNGKey(0), images, optimizer)
-    multi = make_train_multi_step(model, optimizer)
+    multi = make_train_multi_step(
+        model, optimizer,
+        auto_layout=os.environ.get("BENCH_AUTO_LAYOUT", "1") == "1",
+    )
     imgs_k = jnp.broadcast_to(images[None], (chain, *images.shape))
     masks_k = jnp.broadcast_to(masks[None], (chain, *masks.shape))
     valid_k = jnp.ones((chain, batch_size), jnp.float32)

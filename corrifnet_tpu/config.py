@@ -63,6 +63,10 @@ class ExperimentConfig:
                              # models/resnet3d.py, models/mmvit4.py)
     scan_unroll: int = 1     # MMVit4 encoder tail-scan unroll; 0 = full
                              # unroll (smaller device time, bigger program)
+    auto_layout: bool = True  # XLA-chosen train-state layouts (kills the
+                              # param/grad layout copies around the conv
+                              # backward; single-device only — ignored
+                              # when mesh_shape is set)
 
     @property
     def jax_dtype(self):

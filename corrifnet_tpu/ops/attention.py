@@ -238,6 +238,28 @@ def _specs(bh, n, d):
     return row, seed
 
 
+def _cp(n, d, q_blk, n_blocks):
+    """Mosaic scoped-VMEM limit for the attention kernels.
+
+    The 16 MiB default trips once the program is big enough that Mosaic's
+    scheduler keeps more temporaries live (observed: the backward at
+    bh=128, n=2048 wants 16.59 MiB — the round-2 "B=16 JaxRuntimeError").
+    Estimate: double-buffered (1, n, d) blocks + two f32 (n, d) carries +
+    the (q_blk, n) probability/mask f32 tiles; +25% headroom, floor at the
+    16 MiB default, cap well under the 128 MiB physical VMEM."""
+    est = (n_blocks * 2 * n * d * 2      # bf16 in/out blocks, double-buffered
+           + 2 * n * d * 4               # dk/dv f32 carries
+           + 4 * q_blk * n * 4)          # p/ds/mask tiles
+    # Generous headroom: measured stack wants at bh=256/n=2048 were 17.6M
+    # (lse bwd) and 18.8M (recompute bwd) against a 14.2M raw estimate —
+    # Mosaic's scheduler keeps more temporaries live than the hand count.
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=int(min(max(est * 3 // 2 + 8 * 2 ** 20,
+                                     16 * 2 ** 20),
+                                 100 * 2 ** 20))
+    )
+
+
 def _fused_fwd(q, k, v, seed, scale, rate):
     """Returns (o, lse2) — lse2 is None for shapes the packed residual
     can't represent (backward falls back to full softmax recompute)."""
@@ -257,6 +279,7 @@ def _fused_fwd(q, k, v, seed, scale, rate):
                        jax.ShapeDtypeStruct((bh, n // _LANES, _LANES),
                                             jnp.float32)],
             interpret=_interpret(),
+            compiler_params=_cp(n, d, q_blk, 5),
         )(q, k, v, seed)
         return o, lse
     o = pl.pallas_call(
@@ -266,6 +289,7 @@ def _fused_fwd(q, k, v, seed, scale, rate):
         out_specs=row,
         out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
         interpret=_interpret(),
+        compiler_params=_cp(n, d, q_blk, 4),
     )(q, k, v, seed)
     return o, None
 
@@ -380,6 +404,7 @@ def _fused_bwd_impl(q, k, v, o, lse, seed, g, scale, rate):
                    jax.ShapeDtypeStruct((bh, n, d), k.dtype),
                    jax.ShapeDtypeStruct((bh, n, d), v.dtype)],
         interpret=_interpret(),
+        compiler_params=_cp(n, d, q_blk, 9),
     )(*operands)
     return dq, dk, dv
 
@@ -432,5 +457,15 @@ def fused_attention(q, k, v, scale, dropout_rate=0.0, rng=None):
         axis=-1,
     ).reshape(bh, 1, 2)
     flat = lambda t: t.reshape(bh, n, d)
-    out = _fused(flat(q), flat(k), flat(v), seed, float(scale), rate)
+    # Under a device mesh (ops/meshctx.py) the kernel declares its own
+    # batch-sharded partitioning. The seed rows are computed BEFORE the
+    # island from the absolute (batch*head) index, so the dropout
+    # bitstream is identical sharded and unsharded.
+    from corrifnet_tpu.ops.meshctx import island
+
+    fused = island(
+        lambda qf, kf, vf, s: _fused(qf, kf, vf, s, float(scale), rate),
+        (0, 0, 0, 0), 0,
+    )
+    out = fused(flat(q), flat(k), flat(v), seed)
     return out.reshape(b, h, n, d)

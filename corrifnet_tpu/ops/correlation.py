@@ -169,6 +169,14 @@ def correlation_fusion(
         return correlation_fusion_xla(q, k, v)
     m, b, n, c = q.shape
     assert m == 3, q.shape
-    flat = lambda t: t.reshape(3, b * n, c)
-    out = _correlation_fusion_pallas(flat(q), flat(k), flat(v), block_rows)
-    return out.reshape(q.shape)
+
+    def pallas_path(q, k, v):
+        flat = lambda t: t.reshape(3, -1, c)
+        out = _correlation_fusion_pallas(flat(q), flat(k), flat(v), block_rows)
+        return out.reshape(q.shape)
+
+    # Under a device mesh (ops/meshctx.py) the kernel declares its own
+    # batch-sharded partitioning; single-device runs call it directly.
+    from corrifnet_tpu.ops.meshctx import island
+
+    return island(pallas_path, (1, 1, 1), 1)(q, k, v)

@@ -120,15 +120,23 @@ def _fused_fwd(x, eps):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _relu_instancenorm_impl(x, eps=1e-5):
+    return _fused_fwd(x, eps)
+
+
 def relu_instancenorm(x, eps=1e-5):
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if not on_tpu and not INTERPRET:
         return relu_instancenorm_xla(x, eps)
-    return _fused_fwd(x, eps)
+    # Under a device mesh (ops/meshctx.py) the kernel declares its own
+    # batch-sharded partitioning; single-device runs call it directly.
+    from corrifnet_tpu.ops.meshctx import island
+
+    return island(lambda t: _relu_instancenorm_impl(t, eps), (0,), 0)(x)
 
 
 def _vjp_fwd(x, eps):
-    return relu_instancenorm(x, eps), x
+    return _relu_instancenorm_impl(x, eps), x
 
 
 def _vjp_bwd(eps, x, g):
@@ -136,4 +144,4 @@ def _vjp_bwd(eps, x, g):
     return pullback(g)
 
 
-relu_instancenorm.defvjp(_vjp_fwd, _vjp_bwd)
+_relu_instancenorm_impl.defvjp(_vjp_fwd, _vjp_bwd)

@@ -65,7 +65,12 @@ def per_image_metrics(model, params, batch_stats, images, masks, indices,
         im, ma = batch.images, batch.masks
         if mesh is not None:
             im, ma = put_batch(mesh, im, ma)
-        j, f = step(im, ma)
+            from corrifnet_tpu.ops.meshctx import kernel_mesh
+
+            with kernel_mesh(mesh):
+                j, f = step(im, ma)
+        else:
+            j, f = step(im, ma)
         keep = batch.valid.astype(bool)
         jacks.append(np.asarray(j).reshape(-1)[keep])
         f1s.append(np.asarray(f).reshape(-1)[keep])

@@ -165,6 +165,7 @@ def run_experiment(cfg: ExperimentConfig, run_root=".", index: int = 0):
         val_from_checkpoint=cfg.val_from_checkpoint,
         mesh=mesh,
         chain_steps=cfg.chain_steps,
+        auto_layout=cfg.auto_layout,
     )
 
     test_loss, test_jac, fps, first_outputs = test_model(

@@ -129,6 +129,25 @@ def validate(
     return val_loss, val_jac
 
 
+def _with_kernel_mesh(fn, mesh):
+    """Enter the ambient kernel-mesh context (ops/meshctx.py) around each
+    call of a step function, so Pallas call sites traced inside the jitted
+    program wrap themselves in batch-sharded shard_map islands. No mesh:
+    the function is returned unchanged."""
+    if mesh is None:
+        return fn
+    import functools
+
+    from corrifnet_tpu.ops.meshctx import kernel_mesh
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with kernel_mesh(mesh):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 def train_model(
     model,
     state: TrainState,
@@ -153,6 +172,7 @@ def train_model(
     start_epoch: int = 0,
     extended_checkpoints: bool = False,
     chain_steps: int = 1,
+    auto_layout: bool = True,
 ):
     """F4_TRAIN.py:39-86 equivalent. Returns the final TrainState.
 
@@ -183,7 +203,17 @@ def train_model(
 
         state = shard_state(state, mesh)
         batch_sh = batch_sharding(mesh)
-    train_step = make_train_step(model, optimizer)
+    # XLA-chosen state layouts kill the ~8 ms/step of param/grad layout
+    # copies around the conv backward (NOTES.md); single-device only —
+    # under a mesh the sharding layer owns placement. One slot is shared
+    # by the chain and tail executables so the state layout is stable.
+    slot = None
+    if auto_layout and mesh is None:
+        from corrifnet_tpu.train.state import LayoutSlot
+
+        slot = LayoutSlot()
+    train_step = _with_kernel_mesh(
+        make_train_step(model, optimizer, auto_layout=slot), mesh)
     multi_step = None
     if chain_steps > 1 and mesh is not None:
         import warnings
@@ -196,8 +226,8 @@ def train_model(
     elif chain_steps > 1:
         from corrifnet_tpu.train.state import make_train_multi_step
 
-        multi_step = make_train_multi_step(model, optimizer)
-    eval_step = make_eval_step(model)
+        multi_step = make_train_multi_step(model, optimizer, auto_layout=slot)
+    eval_step = _with_kernel_mesh(make_eval_step(model), mesh)
 
     history = {"train_loss": [], "train_jac": [], "val_loss": [], "val_jac": []}
     for epoch in range(start_epoch, n_epochs):

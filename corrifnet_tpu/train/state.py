@@ -30,7 +30,8 @@ from flax import struct
 from corrifnet_tpu.metrics import jaccard2_masked
 
 __all__ = ["TrainState", "make_optimizer", "make_train_step",
-           "make_train_multi_step", "make_eval_step", "init_state"]
+           "make_train_multi_step", "make_eval_step", "init_state",
+           "LayoutSlot"]
 
 
 @struct.dataclass
@@ -88,13 +89,108 @@ def _masked_loss_and_jaccard(outputs, masks, valid):
     return loss, jac, n_valid
 
 
-def make_train_step(model, optimizer) -> Callable:
+class LayoutSlot:
+    """Shared state-layout resolution across step executables.
+
+    One train run may mix executables that donate the same TrainState
+    (``make_train_multi_step`` for full chains + ``make_train_step`` for
+    the epoch tail). Whichever wrapper compiles FIRST resolves the
+    compiler-chosen (``Layout.AUTO``) state format and records it here;
+    every other wrapper sharing the slot compiles against that concrete
+    format, so the state never bounces between layouts."""
+
+    def __init__(self):
+        self.fmt = None          # compiler-chosen Format pytree for the state
+        self.last_out = None     # weakref to the state we last returned
+
+
+class _AutoLayoutStep:
+    """AOT-compiled train step with XLA-chosen ("auto") state layouts.
+
+    The unrolled region map (NOTES.md) shows ~8 ms/step of untagged
+    parameter/gradient layout copies at B=8: conv kernels leave the conv
+    backward in conv-preferred layout and are re-laid-out to the default
+    row-major parameter layout before the Adam update (and back again
+    before the next forward). With ``Format(Layout.AUTO)`` on the donated
+    state argument AND result, XLA instead picks one layout per leaf and
+    the donated round trip preserves it — measured 76.2 -> 74.0 ms/step
+    wall at B=8 (scripts/layout_probe.py, 207 leaves non-default).
+
+    Non-state args pass through with default layouts; ``lr`` is coerced
+    to a f32 scalar array so the AOT signature is call-stable. On the
+    first call (or after an external state swap, e.g. a checkpoint
+    restore) the state is ``device_put`` into the resolved format once.
+    """
+
+    def __init__(self, fn, slot: "LayoutSlot"):
+        self._fn = fn
+        self._slot = slot
+        self._compiled = None
+
+    @staticmethod
+    def _norm_args(args):
+        # lr arrives as a python float from step_lr; fix its aval so the
+        # compiled executable accepts every call.
+        return tuple(
+            a if isinstance(a, jax.Array) else jnp.asarray(a, jnp.float32)
+            for a in args
+        )
+
+    def _compile(self, state, args):
+        from jax.experimental.layout import Format, Layout
+
+        slot = self._slot
+        state_spec = (
+            slot.fmt
+            if slot.fmt is not None
+            else jax.tree.map(lambda _: Format(Layout.AUTO), state)
+        )
+        jitted = jax.jit(
+            self._fn,
+            donate_argnums=(0,),
+            in_shardings=(state_spec,) + (None,) * len(args),
+            out_shardings=(state_spec, None),
+        )
+        # Lower on abstract avals: Layout.AUTO rejects concrete jax.Arrays
+        # (they already carry a layout — e.g. a checkpoint-restored state).
+        abs_ = lambda t: jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(jnp.shape(a), a.dtype), t)
+        self._compiled = jitted.lower(abs_(state), *abs_(args)).compile()
+        if slot.fmt is None:
+            slot.fmt = self._compiled.input_formats[0][0]
+
+    def __call__(self, state, *args):
+        import weakref
+
+        args = self._norm_args(args)
+        slot = self._slot
+        if self._compiled is None:
+            self._compile(state, args)
+        if slot.last_out is None or slot.last_out() is not state:
+            # first call, or the state was swapped outside the step chain
+            # (e.g. extended-checkpoint resume): move it into the resolved
+            # layouts once; thereafter the donated round trip preserves them.
+            state = jax.tree.map(jax.device_put, state, slot.fmt)
+        out_state, metrics = self._compiled(state, *args)
+        slot.last_out = weakref.ref(out_state)
+        return out_state, metrics
+
+
+def make_train_step(model, optimizer, auto_layout=None) -> Callable:
     """Returns jitted f(state, images, masks, valid, lr, rng) ->
-    (state, metrics) with metrics = dict(loss, jaccard, n_valid)."""
-    return jax.jit(_train_step_fn(model, optimizer), donate_argnums=(0,))
+    (state, metrics) with metrics = dict(loss, jaccard, n_valid).
+
+    ``auto_layout``: a ``LayoutSlot`` (or True for a private one) swaps the
+    plain jit for the AOT auto-layout wrapper (see ``_AutoLayoutStep``).
+    Single-device only — under a mesh the sharding layer owns placement."""
+    fn = _train_step_fn(model, optimizer)
+    if auto_layout:
+        slot = auto_layout if isinstance(auto_layout, LayoutSlot) else LayoutSlot()
+        return _AutoLayoutStep(fn, slot)
+    return jax.jit(fn, donate_argnums=(0,))
 
 
-def make_train_multi_step(model, optimizer) -> Callable:
+def make_train_multi_step(model, optimizer, auto_layout=None) -> Callable:
     """K sequential optimizer steps in ONE device dispatch.
 
     Returns jitted f(state, images, masks, valid, lr, rng) -> (state,
@@ -105,7 +201,9 @@ def make_train_multi_step(model, optimizer) -> Callable:
     keys (tested to ~1e-6; the scanned body compiles separately, so f32
     reassociation differs), but the host round-trip — 30-40 ms through a
     tunneled TPU attach — is paid once per k steps instead of per step.
-    Metrics come back stacked per step."""
+    Metrics come back stacked per step. ``auto_layout`` as in
+    ``make_train_step`` (share one ``LayoutSlot`` across the chain and
+    tail steps of a run)."""
     step = _train_step_fn(model, optimizer)
 
     def multi(state: TrainState, images, masks, valid, lr, rng):
@@ -116,6 +214,9 @@ def make_train_multi_step(model, optimizer) -> Callable:
         k = images.shape[0]
         return jax.lax.scan(body, state, (images, masks, valid, jnp.arange(k)))
 
+    if auto_layout:
+        slot = auto_layout if isinstance(auto_layout, LayoutSlot) else LayoutSlot()
+        return _AutoLayoutStep(multi, slot)
     return jax.jit(multi, donate_argnums=(0,))
 
 

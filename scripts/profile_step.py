@@ -43,7 +43,9 @@ def build(batch, spec):
     valid = jnp.ones((batch,), jnp.float32)
     optimizer = make_optimizer("Adam")
     state = init_state(model, jax.random.PRNGKey(0), images, optimizer)
-    step = make_train_step(model, optimizer)
+    step = make_train_step(
+        model, optimizer, auto_layout=spec.get("autolayout", "0") == "1"
+    )
     key = jax.random.key(1, impl=spec.get("rng", "threefry2x32"))
     return step, state, (images, masks, valid), key
 

@@ -319,3 +319,27 @@ def test_chain_steps_matches_single_dispatch(setup, tmp_path):
     _, hist2 = run(state_b, 2)
     for key in ("train_loss", "train_jac", "val_loss", "val_jac"):
         np.testing.assert_allclose(hist1[key], hist2[key], rtol=2e-5, atol=2e-6)
+
+
+def test_auto_layout_matches_default_layout(setup, tmp_path):
+    """train_model with auto_layout=True (AOT step, XLA-chosen state
+    layouts, train/state.py _AutoLayoutStep) reproduces the plain-jit
+    history. On CPU the compiler picks default layouts, so the programs
+    are identical — exact history match; the point is the AOT wrapper's
+    call/donate/restore mechanics, which the TPU run then reuses."""
+    data, model, optimizer, state, lim = setup
+    trind, vlind = np.arange(8), np.arange(8, 10)
+    common = dict(
+        n_epochs=2, learn_rate=1e-3, step_size=5, gamma=0.9,
+        images=data.images, masks=data.masks, trind=trind, vlind=vlind,
+        batch_size=3, lim=lim, logs=None, ckpt=None, i=0,
+        rng=jax.random.PRNGKey(1), val_from_checkpoint=False,
+    )
+    _, hist_auto = train_model(
+        model, state, optimizer, auto_layout=True, **common)
+    state_b = init_state(
+        model, jax.random.PRNGKey(0), jnp.asarray(data.images[:2]), optimizer)
+    _, hist_plain = train_model(
+        model, state_b, optimizer, auto_layout=False, **common)
+    for key in ["train_loss", "train_jac", "val_loss", "val_jac"]:
+        np.testing.assert_allclose(hist_auto[key], hist_plain[key], rtol=1e-6)
