@@ -162,6 +162,7 @@ def _probe_levers(batch, best_base):
     t_start = time.perf_counter()
     # (label, remat, fusebn, fusedblk)
     combos = [
+        ("layout:off", "all", "0", "0"),  # A/B the default-on auto layouts
         ("fusedblk", "all", "0", "1"),
         ("remat:mid", "mid", "0", "0"),
         ("fusebn", "all", "1", "0"),
@@ -176,6 +177,8 @@ def _probe_levers(batch, best_base):
             break
         env = dict(os.environ)
         env["BENCH_ONECONF"] = f"{batch},0,{remat},{fusebn},{fusedblk}"
+        if label == "layout:off":
+            env["BENCH_AUTO_LAYOUT"] = "0"
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],

@@ -15,9 +15,13 @@ Reference structure:
   * decoder: per-stage 1x1 conv to 256 ch + bilinear (align_corners=False!)
     to 224, concat, two 1x1 convs, sigmoid (segformer.py:199-216).
 
-``F32_SEGFORMER.py`` is a debug variant of the same model (scale-factor
-upsample + prints, no sigmoid, F32:190,205-212); the working variant is
-rebuilt here, the divergence documented (SURVEY §2.2).
+``F32_SEGFORMER.py`` is an orphan debug variant of the same model —
+nothing in the pipeline imports it. ``debug_variant=True`` rebuilds it:
+nearest ``scale_factor=2**i`` fusion upsampling (every stage lands at the
+stride-4 grid, so the output is H/4 x W/4, NOT 224 — the reason the
+variant cannot train against 224 masks), split ``to_segmentation1/2``
+head, raw logits with no sigmoid, and the F32:205-212 shape prints
+(emitted at trace time; shapes are static under jit).
 """
 
 from __future__ import annotations
@@ -29,7 +33,7 @@ import jax.numpy as jnp
 from flax import linen as fnn
 
 from corrifnet_tpu.nn import Conv
-from corrifnet_tpu.nn.resize import resize_linear
+from corrifnet_tpu.nn.resize import resize_linear, resize_nearest
 
 __all__ = ["Segformer"]
 
@@ -119,6 +123,7 @@ class Segformer(fnn.Module):
     decoder_dim: int = 256
     num_classes: int = 1
     out_size: Tuple[int, int] = (224, 224)
+    debug_variant: bool = False  # the orphan F32_SEGFORMER.py rebuild
     dtype: Dtype = None
 
     @fnn.compact
@@ -152,10 +157,24 @@ class Segformer(fnn.Module):
         fused = []
         for si, o in enumerate(outputs):
             f = Conv(self.decoder_dim, 1, dtype=self.dtype, name=f"fuse{si}")(o)
-            f = resize_linear(f, self.out_size, align_corners=False)
+            if self.debug_variant:
+                # nn.Upsample(scale_factor=2**i), torch default mode =
+                # nearest (F32_SEGFORMER.py:190): everything lands at the
+                # stage-0 (stride-4) grid, not out_size.
+                f = resize_nearest(
+                    f, tuple(s * 2 ** si for s in f.shape[1:-1]))
+            else:
+                f = resize_linear(f, self.out_size, align_corners=False)
             fused.append(f)
         f = jnp.concatenate(fused, axis=-1)
+        if self.debug_variant:
+            print(tuple(f.shape))  # F32:207 — trace-time, shapes static
         f = Conv(self.decoder_dim, 1, dtype=self.dtype, name="seg1")(f)
+        if self.debug_variant:
+            print("Output Size after Conv1:", tuple(f.shape))  # F32:209
         f = Conv(self.num_classes, 1, dtype=self.dtype, name="seg2")(f)
+        if self.debug_variant:
+            print("Output Size after Conv2:", tuple(f.shape))  # F32:211
+            return jnp.moveaxis(f.astype(jnp.float32), -1, 1)  # raw logits
         out = jax.nn.sigmoid(f.astype(jnp.float32))
         return jnp.moveaxis(out, -1, 1)

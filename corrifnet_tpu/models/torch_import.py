@@ -499,8 +499,14 @@ def segformer_variables_from_state_dict(state_dict: Mapping,
                 "fc2": _conv2d(sd, f"{ff}.3"),
             }
         params[f"fuse{si}"] = _conv2d(sd, f"to_fused.{si}.0")
-    params["seg1"] = _conv2d(sd, "to_segmentation.0")
-    params["seg2"] = _conv2d(sd, "to_segmentation.1")
+    if "to_segmentation1.weight" in sd:
+        # orphan debug variant (F32_SEGFORMER.py:198-199): the head is two
+        # separately-named convs instead of the Sequential
+        params["seg1"] = _conv2d(sd, "to_segmentation1")
+        params["seg2"] = _conv2d(sd, "to_segmentation2")
+    else:
+        params["seg1"] = _conv2d(sd, "to_segmentation.0")
+        params["seg2"] = _conv2d(sd, "to_segmentation.1")
     return {"params": params}
 
 

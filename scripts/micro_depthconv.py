@@ -10,6 +10,7 @@
 Timing: chained fwd+bwd steps in one dispatch (see micro_block.py).
 """
 
+import os
 import sys
 import time
 
@@ -17,7 +18,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-B, D, H, W, C, CO = 8, 5, 128, 128, 16, 8
+# default: the d1 shape; override with MDC_SHAPE="B,D,H,W,C,CO" to probe
+# other decoder levels (d3_c1: 8,5,64,64,64,32; d2_c1: 8,5,128,128,32,16)
+B, D, H, W, C, CO = map(int, os.environ.get(
+    "MDC_SHAPE", "8,5,128,128,16,8").split(","))
 K_STEPS = 30
 
 

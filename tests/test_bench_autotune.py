@@ -19,6 +19,7 @@ def bench():
 class _Result:
     def __init__(self, value):
         self.stdout = f"warmup noise\nONECONF_RESULT {value:.4f}\n"
+        self.stderr = ""  # capture_output=True always provides one
         self.returncode = 0
 
 
@@ -40,6 +41,7 @@ def test_probe_levers_returns_best_and_combines(bench, monkeypatch):
     queued and its value can win."""
     calls = []
     values = {
+        ("all", "0", "0"): 98.0,    # layout:off (loses to the on-default)
         ("all", "0", "1"): 120.0,   # fusedblk
         ("mid", "0", "0"): 115.0,   # remat:mid
         ("all", "1", "0"): 90.0,    # fusebn (loses)
@@ -51,8 +53,8 @@ def test_probe_levers_returns_best_and_combines(bench, monkeypatch):
     assert best == 140.0
     # combo inserted immediately after remat:mid, before fusebn
     assert [c.split(",")[2:] for c in calls] == [
-        ["all", "0", "1"], ["mid", "0", "0"], ["mid", "0", "1"],
-        ["all", "1", "0"],
+        ["all", "0", "0"], ["all", "0", "1"], ["mid", "0", "0"],
+        ["mid", "0", "1"], ["all", "1", "0"],
     ]
     assert all(c.startswith("8,0,") for c in calls)
 
@@ -60,6 +62,7 @@ def test_probe_levers_returns_best_and_combines(bench, monkeypatch):
 def test_probe_levers_no_combo_when_a_lever_loses(bench, monkeypatch):
     calls = []
     values = {
+        ("all", "0", "0"): 99.0,    # layout:off
         ("all", "0", "1"): 120.0,   # fusedblk wins
         ("mid", "0", "0"): 80.0,    # remat:mid loses -> no combo
         ("all", "1", "0"): 95.0,
@@ -68,7 +71,7 @@ def test_probe_levers_no_combo_when_a_lever_loses(bench, monkeypatch):
     monkeypatch.delenv("BENCH_AUTOTUNE", raising=False)
     best = bench._probe_levers(8, 100.0)
     assert best == 120.0
-    assert len(calls) == 3
+    assert len(calls) == 4
 
 
 def test_probe_levers_disabled(bench, monkeypatch):
@@ -95,7 +98,8 @@ def test_probe_levers_survives_failed_child(bench, monkeypatch):
     def fake_run(cmd, capture_output, text, timeout, env):
         calls.append(env["BENCH_ONECONF"])
         r = _Result(0.0)
-        r.stdout = "Traceback (most recent call last): boom\n"
+        r.stdout = ""
+        r.stderr = "Traceback (most recent call last): boom\n"
         r.returncode = 1
         return r
 
@@ -103,4 +107,4 @@ def test_probe_levers_survives_failed_child(bench, monkeypatch):
     monkeypatch.delenv("BENCH_AUTOTUNE", raising=False)
     monkeypatch.delenv("BENCH_AUTOTUNE_BUDGET_S", raising=False)
     assert bench._probe_levers(8, 100.0) == 100.0
-    assert len(calls) == 3
+    assert len(calls) == 4

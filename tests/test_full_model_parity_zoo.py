@@ -167,6 +167,34 @@ def test_segformer_full_forward_parity():
     np.testing.assert_allclose(out, ref_out, atol=2e-5, rtol=0)
 
 
+def test_segformer_debug_variant_forward_parity(capsys):
+    """The orphan F32_SEGFORMER.py debug variant (nothing imports it —
+    rebuilt as ``Segformer(debug_variant=True)``): nearest scale-factor
+    fusion upsample (output lands on the stride-4 grid, not 224), split
+    to_segmentation1/2 head, raw logits without sigmoid, shape prints."""
+    from corrifnet_tpu.models.segformer import Segformer
+    from corrifnet_tpu.models.torch_import import (
+        segformer_variables_from_state_dict,
+    )
+
+    ref = _load_reference("F32_SEGFORMER.py", "ref_segformer_f32")
+    torch.manual_seed(0)
+    model_t = ref.Segformer(num_classes=1)
+    x_np = np.random.default_rng(12).normal(0, 1, (1, 3, 64, 64)).astype(
+        np.float32
+    )
+
+    variables = segformer_variables_from_state_dict(model_t.state_dict())
+    ref_out, out = _forward_pair(
+        model_t, Segformer(num_classes=1, debug_variant=True), variables, x_np
+    )
+
+    assert out.shape == ref_out.shape == (1, 1, 16, 16)  # stride-4 grid
+    assert (out < 0).any()  # raw logits, not sigmoided
+    np.testing.assert_allclose(out, ref_out, atol=2e-5, rtol=0)
+    assert "Output Size after Conv2:" in capsys.readouterr().out
+
+
 # ---------------------------------------------------------------------------
 # ELANet (F30_ELANet.py:252-342)
 # ---------------------------------------------------------------------------
