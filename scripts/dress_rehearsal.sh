@@ -26,8 +26,8 @@ make -C native -q || make -C native
 # 1. pack the .mat set through the native reader (timed — this is the
 #    reference's disk hot spot, ~3x trainSetSize scipy loads per run)
 if [ ! -f "$ROOT/pack.npz" ]; then
-  /usr/bin/time -v python - "$ROOT" "$N" <<'EOF' 2>&1 | grep -E "Elapsed|Maximum resident|packed"
-import sys, time
+  python - "$ROOT" "$N" <<'EOF'
+import resource, sys, time
 from corrifnet_tpu.data.dstl import pack_mat_directory
 from corrifnet_tpu.data.native import native_available
 root, n = sys.argv[1], int(sys.argv[2])
@@ -35,7 +35,8 @@ assert native_available(), "native MAT reader must be built for the rehearsal"
 t = time.time()
 pack_mat_directory(f"{root}/RGBs", f"{root}/all20Ch", f"{root}/class06_mats",
                    f"{root}/pack.npz", n)
-print(f"packed {n} patches in {time.time()-t:.1f}s (native reader)")
+rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+print(f"packed {n} patches in {time.time()-t:.1f}s (native reader), peak RSS {rss:.0f} MB")
 EOF
 fi
 ls -la "$ROOT/pack.npz"
@@ -55,5 +56,7 @@ EOF
 
 # 3. the run (epoch walls land in trainepochFile.txt; loss/J curves in the
 #    7 logfiles; per-epoch checkpoints + val-by-restore as in the reference)
-cd "$RUN" && /usr/bin/time -v python -m corrifnet_tpu.run.main \
-    --config cfg.json --run-root . 2>&1 | tail -40
+cd "$RUN"
+T0=$SECONDS
+python -m corrifnet_tpu.run.main --config cfg.json --run-root . 2>&1 | tail -40
+echo "run wall: $((SECONDS - T0)) s"
