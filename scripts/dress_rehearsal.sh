@@ -13,6 +13,7 @@
 #   setsid nohup bash scripts/dress_rehearsal.sh /root/dstl_scale > /tmp/rehearsal.log 2>&1 &
 set -x
 cd "$(dirname "$0")/.."
+export PYTHONPATH="$(pwd):$PYTHONPATH"   # the run step cd's out of the repo
 ROOT=${1:-/root/dstl_scale}
 N=${2:-5985}
 EPOCHS=${3:-70}
