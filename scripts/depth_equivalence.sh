@@ -14,6 +14,7 @@
 set -x
 cd "$(dirname "$0")/.."
 REPO=$(pwd)
+export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
 OUT=${1:-/tmp/depth_eq}
 N=${2:-240}
 EPOCHS=${3:-20}
