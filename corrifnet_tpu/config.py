@@ -67,6 +67,12 @@ class ExperimentConfig:
                               # param/grad layout copies around the conv
                               # backward; single-device only — ignored
                               # when mesh_shape is set)
+    extended_checkpoints: bool = False  # also save the FULL TrainState
+                              # (params + optimizer moments + step) each
+                              # epoch as state{i} — enables true
+                              # mid-training resume via run.main --resume
+                              # (capability the reference lacks: it only
+                              # saves weights, F4_TRAIN.py:84)
 
     @property
     def jax_dtype(self):

@@ -92,7 +92,16 @@ def _enable_compile_cache():
         pass
 
 
-def run_experiment(cfg: ExperimentConfig, run_root=".", index: int = 0):
+def run_experiment(cfg: ExperimentConfig, run_root=".", index: int = 0,
+                   resume_dir=None):
+    """One experiment (F2_MAIN.py:45-313). With ``resume_dir`` (a prior
+    run directory trained with ``extended_checkpoints=true``), training
+    continues mid-protocol from the ``state{index}`` checkpoint — full
+    TrainState (params + optimizer moments + step), log files truncated
+    to the last completed epoch and appended, per-epoch dropout RNG
+    folded from the base key so the stream is process-count independent.
+    True resume is a capability the reference lacks (it saves weights
+    only, F4_TRAIN.py:84)."""
     begin = datetime.datetime.now()
     _enable_compile_cache()
     print("devices:", jax.devices())
@@ -140,13 +149,41 @@ def run_experiment(cfg: ExperimentConfig, run_root=".", index: int = 0):
             state = state.replace(params=params, batch_stats=batch_stats)
             warm.close()
 
-    d = datetime.datetime.now()
-    run_dir = Path(run_root) / (
-        f"{d.year}_{d.month}_{d.day}_{d.hour}_{d.minute}_model{index}"
-    )
-    run_dir.mkdir(parents=True, exist_ok=True)
-    logs = RunLogs.open(run_dir)
-    ckpt = Checkpointer(run_dir)
+    start_epoch, prior_history = 0, None
+    if resume_dir is not None:
+        run_dir = Path(resume_dir)
+        ckpt = Checkpointer(run_dir)
+        state_name = f"state{index}"
+        if not ckpt.exists(state_name):
+            raise FileNotFoundError(
+                f"{run_dir / state_name}: no extended checkpoint to resume "
+                "from — start the run with extended_checkpoints=true"
+            )
+        state = ckpt.restore_state(state_name, state)
+        steps_per_epoch = -(-len(trind) // cfg.mini_batch_size)
+        start_epoch, rem = divmod(int(state.step), steps_per_epoch)
+        if rem or start_epoch == 0:
+            raise ValueError(
+                f"{run_dir / state_name}: step {int(state.step)} is not a "
+                f"whole number of epochs ({steps_per_epoch} steps/epoch) — "
+                "was the checkpoint written by this config?"
+            )
+        logs = RunLogs.open_resumed(run_dir, start_epoch)
+        prior_history = {
+            "train_loss": _read_curve(run_dir / "trainFile.txt"),
+            "train_jac": _read_curve(run_dir / "trainaccFile.txt"),
+            "val_loss": _read_curve(run_dir / "valFile.txt"),
+            "val_jac": _read_curve(run_dir / "valaccFile.txt"),
+        }
+        print(f"resuming {run_dir} at epoch {start_epoch}/{cfg.n_epochs}")
+    else:
+        d = datetime.datetime.now()
+        run_dir = Path(run_root) / (
+            f"{d.year}_{d.month}_{d.day}_{d.hour}_{d.minute}_model{index}"
+        )
+        run_dir.mkdir(parents=True, exist_ok=True)
+        logs = RunLogs.open(run_dir)
+        ckpt = Checkpointer(run_dir)
 
     mesh = None
     if cfg.mesh_shape:
@@ -166,7 +203,12 @@ def run_experiment(cfg: ExperimentConfig, run_root=".", index: int = 0):
         mesh=mesh,
         chain_steps=cfg.chain_steps,
         auto_layout=cfg.auto_layout,
+        start_epoch=start_epoch,
+        # a resumed run must stay resumable regardless of the flag
+        extended_checkpoints=cfg.extended_checkpoints or resume_dir is not None,
     )
+    if prior_history is not None:
+        history = {k: prior_history[k] + history[k] for k in history}
 
     test_loss, test_jac, fps, first_outputs = test_model(
         model, state, images, masks, tsind,
@@ -203,6 +245,13 @@ def run_experiment(cfg: ExperimentConfig, run_root=".", index: int = 0):
         "fps": fps,
         "history": history,
     }
+
+
+def _read_curve(path):
+    """One-float-per-line log file -> list (for resumed curve PNGs)."""
+    if not Path(path).exists():
+        return []
+    return [float(ln) for ln in Path(path).read_text().split()]
 
 
 def _write_summary_log(run_dir, cfg, begin, trind, vlind, test_jac, model):
@@ -269,9 +318,15 @@ def main(argv=None):
     ap.add_argument("--indices", default=None,
                     help="comma-separated experiment indices, e.g. 0,1,2")
     ap.add_argument("--synthetic-seed", type=int, default=None)
+    ap.add_argument("--resume", default=None, metavar="RUN_DIR",
+                    help="continue an interrupted run in-place from its "
+                         "state{i} extended checkpoint (requires the run to "
+                         "have been started with extended_checkpoints=true)")
     args = ap.parse_args(argv)
     if not args.config:
         ap.error("--config is required")
+    if args.resume and args.indices:
+        ap.error("--resume takes a single run directory; use --index")
 
     indices = (
         [int(i) for i in args.indices.split(",")] if args.indices else [args.index]
@@ -282,7 +337,7 @@ def main(argv=None):
         cfg = load_config(cfg_path)
         if args.synthetic_seed is not None:
             cfg.synthetic_seed = args.synthetic_seed
-        result = run_experiment(cfg, args.run_root, i)
+        result = run_experiment(cfg, args.run_root, i, resume_dir=args.resume)
         print(f"[model{i}] test jaccard:", result["test_jaccard"],
               "fps:", result["fps"])
         results[i] = result

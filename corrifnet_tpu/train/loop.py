@@ -328,8 +328,6 @@ def train_model(
 
         if checkpoint_every_epoch and ckpt is not None:
             ckpt.save(epoch_ckpt_name(i), state.params, state.batch_stats)
-            if extended_checkpoints:
-                ckpt.save_state(f"state{i}", state)
         val_loss, val_jac = validate(
             eval_step, state, images, masks, vlind, batch_size, lim, logs,
             ckpt if checkpoint_every_epoch else None, i, val_from_checkpoint,
@@ -338,6 +336,12 @@ def train_model(
         history["val_jac"].append(val_jac)
         if logs is not None:
             logs.flush()
+        # The extended (resume) checkpoint is written LAST, after the
+        # epoch's log lines are flushed — so ``state{i}`` always marks a
+        # fully-logged epoch and run.main --resume can truncate any
+        # partial epoch an interrupted process left behind.
+        if checkpoint_every_epoch and ckpt is not None and extended_checkpoints:
+            ckpt.save_state(f"state{i}", state)
 
     if ckpt is not None:
         ckpt.save(final_ckpt_name(i), state.params, state.batch_stats)

@@ -30,19 +30,50 @@ class RunLogs:
     testacc: TextIO
 
     @classmethod
-    def open(cls, run_dir) -> "RunLogs":
+    def open(cls, run_dir, append: bool = False) -> "RunLogs":
         d = Path(run_dir)
         d.mkdir(parents=True, exist_ok=True)
+        mode = "a" if append else "w"
         return cls(
-            lr=open(d / "lrFile.txt", "w"),
-            train=open(d / "trainFile.txt", "w"),
-            trainacc=open(d / "trainaccFile.txt", "w"),
-            trainepoch=open(d / "trainepochFile.txt", "w"),
-            val=open(d / "valFile.txt", "w"),
-            valacc=open(d / "valaccFile.txt", "w"),
-            test=open(d / "testFile.txt", "w"),
-            testacc=open(d / "testaccFile.txt", "w"),
+            lr=open(d / "lrFile.txt", mode),
+            train=open(d / "trainFile.txt", mode),
+            trainacc=open(d / "trainaccFile.txt", mode),
+            trainepoch=open(d / "trainepochFile.txt", mode),
+            val=open(d / "valFile.txt", mode),
+            valacc=open(d / "valaccFile.txt", mode),
+            test=open(d / "testFile.txt", mode),
+            testacc=open(d / "testaccFile.txt", mode),
         )
+
+    @classmethod
+    def open_resumed(cls, run_dir, completed_epochs: int) -> "RunLogs":
+        """Reopen a run's log files for a mid-training resume.
+
+        An interrupted process may have written a partial epoch past the
+        last ``state{i}`` checkpoint (the train lines land before the
+        checkpoint, the val lines after) — truncate every per-epoch file
+        back to ``completed_epochs`` entries so the resumed run appends a
+        clean continuation. Single-line-per-epoch files are cut by line
+        count; ``lrFile`` (6 lines per epoch: header, scheduler dict,
+        train loss/acc, val loss/acc) is cut at the next epoch header;
+        test files are rewritten empty (test only runs after training)."""
+        d = Path(run_dir)
+        for name in ("trainFile.txt", "trainaccFile.txt",
+                     "trainepochFile.txt", "valFile.txt", "valaccFile.txt"):
+            p = d / name
+            lines = p.read_text().splitlines(keepends=True) if p.exists() else []
+            p.write_text("".join(lines[:completed_epochs]))
+        lr = d / "lrFile.txt"
+        if lr.exists():
+            kept, marker = [], f"Epoch: {completed_epochs} LR:"
+            for ln in lr.read_text().splitlines(keepends=True):
+                if ln.startswith(marker):
+                    break
+                kept.append(ln)
+            lr.write_text("".join(kept))
+        for name in ("testFile.txt", "testaccFile.txt"):
+            (d / name).write_text("")
+        return cls.open(d, append=True)
 
     def flush(self):
         for f in self._files():

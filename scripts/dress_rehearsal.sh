@@ -49,15 +49,24 @@ run, root, n, epochs, mode = sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys
 cfg = dict(train_set_size=n, fno=2, fsiz=5, mini_batch_size=4,
            n_epochs=epochs, learn_rate=1e-4, optimizer_type="Adam",
            step_size=5, gamma=0.9, modeltype="MMVit4",
-           depth_mode=mode, data_pack=f"{root}/pack.npz", seed=0)
+           depth_mode=mode, data_pack=f"{root}/pack.npz", seed=0,
+           extended_checkpoints=True)
 json.dump(cfg, open(f"{run}/cfg.json", "w"))
 from corrifnet_tpu.data.crossval import write_permutation
 write_permutation(n, run, seed=0)
 EOF
 
 # 3. the run (epoch walls land in trainepochFile.txt; loss/J curves in the
-#    7 logfiles; per-epoch checkpoints + val-by-restore as in the reference)
+#    7 logfiles; per-epoch checkpoints + val-by-restore as in the reference).
+#    A prior interrupted run in this root is RESUMED from its state0
+#    extended checkpoint (run.main --resume) instead of restarted.
 cd "$RUN"
 T0=$SECONDS
-python -m corrifnet_tpu.run.main --config cfg.json --run-root . 2>&1 | tail -40
+PREV=$(ls -dt ./*model0 2>/dev/null | head -1)
+if [ -n "$PREV" ] && [ -e "$PREV/state0" ]; then
+  python -m corrifnet_tpu.run.main --config cfg.json --run-root . \
+      --resume "$PREV" 2>&1 | tail -40
+else
+  python -m corrifnet_tpu.run.main --config cfg.json --run-root . 2>&1 | tail -40
+fi
 echo "run wall: $((SECONDS - T0)) s"
