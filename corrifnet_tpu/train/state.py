@@ -97,11 +97,16 @@ class LayoutSlot:
     the epoch tail). Whichever wrapper compiles FIRST resolves the
     compiler-chosen (``Layout.AUTO``) state format and records it here;
     every other wrapper sharing the slot compiles against that concrete
-    format, so the state never bounces between layouts."""
+    format, so the state never bounces between layouts.
+
+    ``failed=True`` records that the mechanism was found unreliable on
+    this backend (see ``_AutoLayoutStep._canary``); every wrapper sharing
+    the slot then uses default layouts, so the state never mixes."""
 
     def __init__(self):
         self.fmt = None          # compiler-chosen Format pytree for the state
         self.last_out = None     # weakref to the state we last returned
+        self.failed = False      # canary tripped: use default layouts
 
 
 class _AutoLayoutStep:
@@ -120,12 +125,25 @@ class _AutoLayoutStep:
     to a f32 scalar array so the AOT signature is call-stable. On the
     first call (or after an external state swap, e.g. a checkpoint
     restore) the state is ``device_put`` into the resolved format once.
+
+    Remote/tunneled TPU backends have been observed to (a) choose
+    DIFFERENT layouts for the donated input state and the returned state
+    under double-AUTO, and (b) report executable layout metadata that
+    disagrees with what the device enforces at enqueue — both fault the
+    run one step later with InvalidArgument. (a) is fixed by pinning the
+    output to the input choice (``_compile``); (b) is unobservable
+    client-side, so the first call runs a two-step CANARY on a cloned
+    state (``_canary``) and, if the executable faults, degrades to a
+    plain donated jit with default layouts — auto layout is a ~3% win
+    (NOTES.md), never worth a crashed run.
     """
 
     def __init__(self, fn, slot: "LayoutSlot"):
         self._fn = fn
         self._slot = slot
         self._compiled = None
+        self._fallback = None
+        self._validated = False
 
     @staticmethod
     def _norm_args(args):
@@ -145,27 +163,76 @@ class _AutoLayoutStep:
             if slot.fmt is not None
             else jax.tree.map(lambda _: Format(Layout.AUTO), state)
         )
-        jitted = jax.jit(
-            self._fn,
-            donate_argnums=(0,),
-            in_shardings=(state_spec,) + (None,) * len(args),
-            out_shardings=(state_spec, None),
-        )
         # Lower on abstract avals: Layout.AUTO rejects concrete jax.Arrays
         # (they already carry a layout — e.g. a checkpoint-restored state).
         abs_ = lambda t: jax.tree.map(
             lambda a: jax.ShapeDtypeStruct(jnp.shape(a), a.dtype), t)
-        self._compiled = jitted.lower(abs_(state), *abs_(args)).compile()
+
+        def compile_with(spec):
+            jitted = jax.jit(
+                self._fn,
+                donate_argnums=(0,),
+                in_shardings=(spec,) + (None,) * len(args),
+                out_shardings=(spec, None),
+            )
+            return jitted.lower(abs_(state), *abs_(args)).compile()
+
+        self._compiled = compile_with(state_spec)
         if slot.fmt is None:
-            slot.fmt = self._compiled.input_formats[0][0]
+            in_fmt = self._compiled.input_formats[0][0]
+            out_fmt = self._compiled.output_formats[0]
+            if jax.tree.leaves(in_fmt) != jax.tree.leaves(out_fmt):
+                # With AUTO on both sides XLA may choose DIFFERENT layouts
+                # for the donated input state and the returned state (seen
+                # on TPU: opt_state.nu conv-kernel leaves) — the donated
+                # round trip then faults on the second step
+                # (InvalidArgument: passed layout != required layout).
+                # Pin both sides to the input choice and recompile: one
+                # extra (persistently cached) compile, zero per-step
+                # relayout copies.
+                self._compiled = compile_with(in_fmt)
+            slot.fmt = in_fmt
+
+    def _canary(self, state, args):
+        """Prove the compiled executable's layout round trip on a CLONED
+        state before trusting it with the real one: step on the clone,
+        step again on that output (the in->out->in round trip is where
+        layout mismatches fault), and fetch a metric value (tunneled
+        backends surface enqueue faults only at a host read)."""
+        import numpy as np
+
+        probe = jax.tree.map(jax.device_put, state, self._slot.fmt)
+        p1, _ = self._compiled(probe, *args)
+        p2, m = self._compiled(p1, *args)
+        np.asarray(m["loss"])
+        del p2
 
     def __call__(self, state, *args):
+        import warnings
         import weakref
 
         args = self._norm_args(args)
         slot = self._slot
+        if self._fallback is None and slot.failed:
+            self._fallback = jax.jit(self._fn, donate_argnums=(0,))
+        if self._fallback is not None:
+            return self._fallback(state, *args)
         if self._compiled is None:
             self._compile(state, args)
+        if not self._validated:
+            try:
+                self._canary(state, args)
+                self._validated = True
+            except Exception as e:
+                warnings.warn(
+                    "auto-layout train step failed its layout canary "
+                    f"({type(e).__name__}); falling back to default "
+                    "layouts for this run",
+                    stacklevel=2,
+                )
+                slot.failed = True
+                self._fallback = jax.jit(self._fn, donate_argnums=(0,))
+                return self._fallback(state, *args)
         if slot.last_out is None or slot.last_out() is not state:
             # first call, or the state was swapped outside the step chain
             # (e.g. extended-checkpoint resume): move it into the resolved
