@@ -25,20 +25,33 @@ timeout 120 python -c "import jax; print(jax.devices())" || exit 1
 for SEED in 1 2 3; do
   for MODE in pruned full; do
     D="$OUT/s${SEED}_${MODE}"
-    if [ -f "$D/testaccFile.txt" ]; then continue; fi
+    # done = a NON-EMPTY testaccFile inside a dated run dir (the logfiles
+    # are created empty at run start, and they live under *model0/, not $D)
+    if find "$D" -path '*model0/testaccFile.txt' -size +0c 2>/dev/null | grep -q .; then
+      continue
+    fi
     mkdir -p "$D"
     python - "$D" "$SEED" "$MODE" "$N" "$EPOCHS" <<'EOF'
 import json, sys
 d, seed, mode, n, epochs = sys.argv[1], int(sys.argv[2]), sys.argv[3], int(sys.argv[4]), int(sys.argv[5])
 cfg = dict(train_set_size=n, n_epochs=epochs, mini_batch_size=4,
            learn_rate=1e-4, step_size=5, gamma=0.9, modeltype="MMVit4",
-           depth_mode=mode, synthetic_seed=seed, seed=seed)
+           depth_mode=mode, synthetic_seed=seed, seed=seed,
+           extended_checkpoints=True)  # resumable across session kills
 json.dump(cfg, open(f"{d}/cfg.json", "w"))
 from corrifnet_tpu.data.crossval import write_permutation
 write_permutation(n, d, seed=0)  # same folds for both modes of a seed
 EOF
-    (cd "$D" && timeout 4500 python -m corrifnet_tpu.run.main \
-        --config cfg.json --run-root . 2>&1 | tail -3) || true
+    # a prior interrupted run with an extended checkpoint resumes in place
+    PRIOR=$(ls -d "$D"/*model0 2>/dev/null | tail -1)
+    if [ -n "$PRIOR" ] && [ -e "$PRIOR/state0" ]; then
+      (cd "$D" && timeout 4500 python -m corrifnet_tpu.run.main \
+          --config cfg.json --run-root . --resume "$PRIOR" 2>&1 | tail -3) || true
+    else
+      rm -rf "$D"/*model0   # dead partial run without a checkpoint
+      (cd "$D" && timeout 4500 python -m corrifnet_tpu.run.main \
+          --config cfg.json --run-root . 2>&1 | tail -3) || true
+    fi
   done
 done
 
