@@ -8,6 +8,10 @@ Metric: 224x224 multispectral patches/sec through the full jitted train step
 depth-pruned decoder. ``vs_baseline`` is measured against the BASELINE.json
 target of 2,000 patches/sec/chip (the reference itself publishes no
 throughput numbers — its fpsfile.txt slot is empty, F7_TEST2.py:135).
+An extra ``full_depth`` field reports the same measurement with
+``depth_mode='full'`` — the PARITY-DEFAULT decoder (see NOTES round-3
+depth-mode matrix); an ``mfu`` field reports value/750 against the
+single-chip speed-of-light (BASELINE.md).
 
 Measurement notes: chains of 10 REAL optimizer steps run inside one jitted
 ``lax.scan`` dispatch (``make_train_multi_step``), each chain synchronized
@@ -278,17 +282,47 @@ def main():
         value = max(value, _probe_levers(batch or 8, value))
     except Exception as e:  # noqa: BLE001 — autotune must never sink the run
         print(f"# lever autotune failed: {type(e).__name__}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "mmvit4_train_patches_per_sec",
-                "value": round(value, 2),
-                "unit": "224x224 patches/sec/chip",
-                "vs_baseline": round(value / BASELINE_TARGET, 4),
-                "mfu": round(value / SPEED_OF_LIGHT, 4),
-            }
+    full_value = _measure_full_depth(batch or 8)
+    out = {
+        "metric": "mmvit4_train_patches_per_sec",
+        "value": round(value, 2),
+        "unit": "224x224 patches/sec/chip",
+        "vs_baseline": round(value / BASELINE_TARGET, 4),
+        "mfu": round(value / SPEED_OF_LIGHT, 4),
+    }
+    if full_value:
+        out["full_depth"] = round(full_value, 2)
+    print(json.dumps(out))
+
+
+def _measure_full_depth(batch):
+    """Extra row: depth_mode='full' (the PARITY DEFAULT — the depth-mode
+    equivalence matrix showed full-depth IN stats train materially better,
+    NOTES round-3). Reported as its own JSON field; the headline `value`
+    stays the depth-pruned benchmark mode for cross-round continuity."""
+    import subprocess
+
+    if os.environ.get("BENCH_FULL_ROW", "1") == "0":
+        return 0.0
+    env = dict(os.environ)
+    env["BENCH_DEPTH"] = "full"
+    env["BENCH_ONECONF"] = f"{batch},0,all,0,0"
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, timeout=1500, env=env,
         )
-    )
+        for line in out.stdout.splitlines():
+            if line.startswith("ONECONF_RESULT "):
+                v = float(line.split()[1])
+                print(f"# depth:full: {v:.2f}", file=sys.stderr)
+                return v
+        print(f"# depth:full failed (rc={out.returncode})", file=sys.stderr)
+        for ln in out.stderr.splitlines()[-15:]:
+            print(f"#   full| {ln}", file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print("# depth:full timed out", file=sys.stderr)
+    return 0.0
 
 
 if __name__ == "__main__":

@@ -385,7 +385,15 @@ class Conv(fnn.Module):
 
     def _depth3_shift_add(self, x, kernel, bias, st, pd, dl, cdtype):
         """Per-tap conv + shift-add fallback for large depth counts (the
-        channel-folded form would triple a multi-GB concat buffer)."""
+        channel-folded form would triple a multi-GB concat buffer).
+
+        The three depth-tap convs run as ONE 2-D conv with the tap kernels
+        concatenated along OUTPUT channels ((kh,kw,cin,3*cout)) — the
+        full-depth decoder's convs have cout 8-32, i.e. 6-25% of the
+        MXU's 128 output lanes per tap; tap-major output folding triples
+        the occupied lanes at identical FLOPs (the shift-add below reads
+        per-tap channel blocks instead of separate arrays). Grouped convs
+        keep per-tap kernels (output folding would interleave groups)."""
         b, d_, h_, w_, cin = x.shape
         xf = x.reshape(b * d_, h_, w_, cin)
         if self.pad_mode == "replicate" and (pd[1] != (0, 0) or pd[2] != (0, 0)):
@@ -394,18 +402,32 @@ class Conv(fnn.Module):
         else:
             pad2d = [pd[1], pd[2]]
         dn2 = _dim_numbers(4)
-        zs = []
-        for t in range(3):
-            zt = jax.lax.conv_general_dilated(
+        if self.groups == 1:
+            cout = kernel.shape[-1]
+            kcat = jnp.concatenate([kernel[t] for t in range(3)], axis=-1)
+            zcat = jax.lax.conv_general_dilated(
                 xf,
-                kernel[t],
+                kcat,
                 window_strides=st[1:],
                 padding=pad2d,
                 rhs_dilation=dl[1:],
                 dimension_numbers=dn2,
-                feature_group_count=self.groups,
             )
-            zs.append(zt.reshape(b, d_, *zt.shape[1:]))
+            zcat = zcat.reshape(b, d_, *zcat.shape[1:])
+            zs = [zcat[..., t * cout : (t + 1) * cout] for t in range(3)]
+        else:
+            zs = []
+            for t in range(3):
+                zt = jax.lax.conv_general_dilated(
+                    xf,
+                    kernel[t],
+                    window_strides=st[1:],
+                    padding=pad2d,
+                    rhs_dilation=dl[1:],
+                    dimension_numbers=dn2,
+                    feature_group_count=self.groups,
+                )
+                zs.append(zt.reshape(b, d_, *zt.shape[1:]))
         z0, z1, z2 = zs
         out_d = d_ if pd[0] == (1, 1) else d_ - 1
         if self.pad_mode == "replicate":

@@ -109,8 +109,13 @@ def resize_nearest(x: jnp.ndarray, size: Sequence[int]):
         if src == dst:
             continue
         if dst > src:
-            w = jnp.asarray(_nearest_matrix(src, dst))
-            y = jnp.tensordot(w, y.astype(jnp.float32), axes=[[1], [ax]])
+            # one-hot matmul in the INPUT dtype: every row holds a single
+            # 1.0, so the product is bitwise-exact in bf16 as well (MXU
+            # accumulates in f32) — an f32 round trip here materialized
+            # multi-GB intermediates on the full-depth decoder's 128^3
+            # skip resizes for no precision gain.
+            w = jnp.asarray(_nearest_matrix(src, dst)).astype(dtype)
+            y = jnp.tensordot(w, y, axes=[[1], [ax]])
             y = jnp.moveaxis(y, 0, ax).astype(dtype)
         else:
             idx = jnp.asarray(_nearest_indices(src, dst))

@@ -108,3 +108,40 @@ def test_probe_levers_survives_failed_child(bench, monkeypatch):
     monkeypatch.delenv("BENCH_AUTOTUNE_BUDGET_S", raising=False)
     assert bench._probe_levers(8, 100.0) == 100.0
     assert len(calls) == 4
+
+
+def test_measure_full_depth_sets_env_and_parses(bench, monkeypatch):
+    """The full-depth extra row runs one child with BENCH_DEPTH=full and
+    returns its parsed value; it never competes with the pruned headline."""
+    import subprocess
+
+    seen = {}
+
+    def fake_run(cmd, capture_output, text, timeout, env):
+        seen["depth"] = env.get("BENCH_DEPTH")
+        seen["conf"] = env.get("BENCH_ONECONF")
+        return _Result(61.25)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.delenv("BENCH_FULL_ROW", raising=False)
+    assert bench._measure_full_depth(8) == 61.25
+    assert seen["depth"] == "full"
+    assert seen["conf"] == "8,0,all,0,0"
+
+
+def test_measure_full_depth_disabled_and_failed(bench, monkeypatch):
+    import subprocess
+
+    monkeypatch.setenv("BENCH_FULL_ROW", "0")
+    assert bench._measure_full_depth(8) == 0.0
+    monkeypatch.delenv("BENCH_FULL_ROW", raising=False)
+
+    def fake_run(cmd, capture_output, text, timeout, env):
+        r = _Result(0.0)
+        r.stdout = ""
+        r.stderr = "boom\n"
+        r.returncode = 1
+        return r
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    assert bench._measure_full_depth(8) == 0.0

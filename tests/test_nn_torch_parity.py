@@ -277,3 +277,39 @@ def test_depth3_banded_matches_decomposed(pad_mode, d, depth_pad):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
     )
+
+
+@pytest.mark.parametrize("pad_mode", ["zeros", "replicate"])
+@pytest.mark.parametrize("depth_pad", [1, (1, 0)])
+def test_depth3_shift_add_tapout_matches_decomposed(pad_mode, depth_pad):
+    """The large-depth shift-add path (full-depth decoder convs) — with the
+    3 depth-tap kernels folded along OUTPUT channels into one 2-D conv —
+    must equal the tap-concat decomposition (torch-verified). D=20 forces
+    the out_d>16 branch the full-depth decoder takes."""
+    from corrifnet_tpu.nn.conv import Conv
+
+    cin, cout, d = 12, 8, 20
+    x = jnp.asarray(
+        np.random.default_rng(13).normal(0, 1, (2, d, 9, 9, cin))
+        .astype(np.float32)
+    )
+    pads = (depth_pad, 1, 1)
+    m = Conv(cout, (3, 3, 3), 1, pads, pad_mode=pad_mode)
+    v = m.init(jax.random.PRNGKey(0), x)
+    got = m.apply(v, x)  # dispatches to _depth3_shift_add at D=20
+    want = m.apply(
+        v, x,
+        method=lambda self, xx: self._depth3_decomposed(
+            xx.astype(jnp.float32),
+            v["params"]["kernel"],
+            v["params"]["bias"],
+            (1, 1, 1),
+            tuple((p, p) if isinstance(p, int) else tuple(p) for p in pads),
+            (1, 1, 1),
+            jnp.float32,
+        ),
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+    )
