@@ -198,10 +198,19 @@ class _AutoLayoutStep:
         state before trusting it with the real one: step on the clone,
         step again on that output (the in->out->in round trip is where
         layout mismatches fault), and fetch a metric value (tunneled
-        backends surface enqueue faults only at a host read)."""
+        backends surface enqueue faults only at a host read).
+
+        ``may_alias=False`` is load-bearing: when a leaf is ALREADY in the
+        resolved layout (exactly the checkpoint-restore/resume case),
+        ``device_put`` would otherwise return the caller's array itself,
+        and the donated canary execution would delete the real state
+        ("Array has been deleted" at the post-canary move)."""
         import numpy as np
 
-        probe = jax.tree.map(jax.device_put, state, self._slot.fmt)
+        probe = jax.tree.map(
+            lambda a, f: jax.device_put(a, f, may_alias=False),
+            state, self._slot.fmt,
+        )
         p1, _ = self._compiled(probe, *args)
         p2, m = self._compiled(p1, *args)
         np.asarray(m["loss"])
