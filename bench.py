@@ -151,7 +151,7 @@ def _run_oneconf():
     print(f"ONECONF_RESULT {v:.4f}", flush=True)
 
 
-def _probe_levers(batch, best_base):
+def _probe_levers(batch, best_base, deadline):
     """Try the built-but-default-off perf levers in subprocesses, best
     first; returns the best measured value. Each lever is a documented
     algebraic rewrite (NOTES.md round-2 ladder): remat:mid stores post-relu
@@ -162,8 +162,6 @@ def _probe_levers(batch, best_base):
 
     if os.environ.get("BENCH_AUTOTUNE", "1") == "0":
         return best_base
-    budget = float(os.environ.get("BENCH_AUTOTUNE_BUDGET_S", "1500"))
-    t_start = time.perf_counter()
     # (label, remat, fusebn, fusedblk)
     combos = [
         ("layout:off", "all", "0", "0"),  # A/B the default-on auto layouts
@@ -175,8 +173,9 @@ def _probe_levers(batch, best_base):
     best = best_base
     while combos:
         label, remat, fusebn, fusedblk = combos.pop(0)
-        if time.perf_counter() - t_start > budget:
-            print(f"# autotune budget exhausted before {label}",
+        left = deadline - time.monotonic()
+        if left < 120:
+            print(f"# bench deadline reached before lever {label}",
                   file=sys.stderr)
             break
         env = dict(os.environ)
@@ -186,7 +185,8 @@ def _probe_levers(batch, best_base):
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
-                capture_output=True, text=True, timeout=900, env=env,
+                capture_output=True, text=True,
+                timeout=min(900, left), env=env,
             )
             v = 0.0
             for line in out.stdout.splitlines():
@@ -213,10 +213,32 @@ def _probe_levers(batch, best_base):
     return best
 
 
+def _emit(value, full_value):
+    """Print the result JSON line NOW (the driver parses the LAST JSON
+    line, so each improvement re-emits — a timeout mid-probe still leaves
+    a valid number on stdout; r3's bench died with zero output)."""
+    out = {
+        "metric": "mmvit4_train_patches_per_sec",
+        "value": round(value, 2),
+        "unit": "224x224 patches/sec/chip",
+        "vs_baseline": round(value / BASELINE_TARGET, 4),
+        "mfu": round(value / SPEED_OF_LIGHT, 4),
+    }
+    if full_value:
+        out["full_depth"] = round(full_value, 2)
+        out["full_depth_mfu"] = round(full_value / SPEED_OF_LIGHT, 4)
+    print(json.dumps(out), flush=True)
+
+
 def main():
     if os.environ.get("BENCH_ONECONF"):
         _run_oneconf()
         return
+    # Hard wall for the whole run: every subprocess probe is gated on the
+    # remaining budget, and the JSON line is (re-)emitted after each stage,
+    # so the bench cannot end with nothing parseable.
+    deadline = time.monotonic() + float(
+        os.environ.get("BENCH_DEADLINE_S", "1680"))
     # The tunnel has transient outages; a failed/hung init is sticky within
     # the process, so retry by re-exec'ing (bounded by BENCH_INIT_RETRIES).
     if not _tpu_ready():
@@ -238,6 +260,10 @@ def main():
     configs = [(batch, 1), (batch, 0)] if batch else [(8, 1), (8, 0), (16, 1)]
     value = 0.0
     for b, unroll in configs:
+        if value and time.monotonic() > deadline - 300:
+            print("# bench deadline: skipping remaining base configs",
+                  file=sys.stderr)
+            break
         try:
             v = bench_train_step(batch_size=b, rt_floor=rt_floor,
                                  scan_unroll=unroll)
@@ -278,24 +304,28 @@ def main():
                     print(f"# batch {b} lse=0 retry timed out", file=sys.stderr)
     if value == 0.0:
         raise RuntimeError("all benchmark batch sizes failed")
+    _emit(value, 0.0)  # a valid line exists from here on, whatever happens
+
+    # full-depth row FIRST (it is the parity number — r3's lever probes
+    # starved it), then the lever probes; re-emit after each improvement.
+    full_value = 0.0
     try:
-        value = max(value, _probe_levers(batch or 8, value))
+        full_value = _measure_full_depth(batch or 8, deadline)
+    except Exception as e:  # noqa: BLE001 — the row must never sink the run
+        print(f"# full-depth row failed: {type(e).__name__}", file=sys.stderr)
+    if full_value:
+        _emit(value, full_value)
+    try:
+        lever_best = _probe_levers(batch or 8, value, deadline)
     except Exception as e:  # noqa: BLE001 — autotune must never sink the run
         print(f"# lever autotune failed: {type(e).__name__}", file=sys.stderr)
-    full_value = _measure_full_depth(batch or 8)
-    out = {
-        "metric": "mmvit4_train_patches_per_sec",
-        "value": round(value, 2),
-        "unit": "224x224 patches/sec/chip",
-        "vs_baseline": round(value / BASELINE_TARGET, 4),
-        "mfu": round(value / SPEED_OF_LIGHT, 4),
-    }
-    if full_value:
-        out["full_depth"] = round(full_value, 2)
-    print(json.dumps(out))
+        lever_best = value
+    if lever_best > value:
+        value = lever_best
+        _emit(value, full_value)
 
 
-def _measure_full_depth(batch):
+def _measure_full_depth(batch, deadline):
     """Extra row: depth_mode='full' (the PARITY DEFAULT — the depth-mode
     equivalence matrix showed full-depth IN stats train materially better,
     NOTES round-3). Reported as its own JSON field; the headline `value`
@@ -304,13 +334,19 @@ def _measure_full_depth(batch):
 
     if os.environ.get("BENCH_FULL_ROW", "1") == "0":
         return 0.0
+    left = deadline - time.monotonic()
+    if left < 120:
+        print("# bench deadline reached before full-depth row",
+              file=sys.stderr)
+        return 0.0
     env = dict(os.environ)
     env["BENCH_DEPTH"] = "full"
     env["BENCH_ONECONF"] = f"{batch},0,all,0,0"
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            capture_output=True, text=True, timeout=1500, env=env,
+            capture_output=True, text=True,
+            timeout=min(1500, left), env=env,
         )
         for line in out.stdout.splitlines():
             if line.startswith("ONECONF_RESULT "):

@@ -43,7 +43,8 @@ from corrifnet_tpu.data.crossval import write_permutation
 write_permutation(n, d, seed=0)  # same folds for both modes of a seed
 EOF
     # a prior interrupted run with an extended checkpoint resumes in place
-    PRIOR=$(ls -d "$D"/*model0 2>/dev/null | tail -1)
+    # (-t: newest by mtime — dated dir NAMES don't sort chronologically)
+    PRIOR=$(ls -dt "$D"/*model0 2>/dev/null | head -1)
     if [ -n "$PRIOR" ] && [ -e "$PRIOR/state0" ]; then
       (cd "$D" && timeout 4500 python -m corrifnet_tpu.run.main \
           --config cfg.json --run-root . --resume "$PRIOR" 2>&1 | tail -3) || true
