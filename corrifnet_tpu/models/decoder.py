@@ -14,13 +14,17 @@ Depth modes:
   * ``depth_mode='full'`` — bit-faithful to the reference: depth is blown up
     3 -> 16 -> 32 -> 64 -> 128 through the cascade (the B x 8 x 128^3
     activation is the reference's single largest tensor).
-  * ``depth_mode='pruned'`` (default for benchmarking) — computes only the
+  * ``depth_mode='pruned'`` (OPT-IN fast inference/benchmark mode) — computes only the
     leading depth slices (max 5) that can influence the surviving output
     slice, a ~40x FLOP/memory cut at the 128^3 stage. Interpolation and
     convolution are *exact* under pruning (verified in tests); the only
     divergence is InstanceNorm statistics, which the reference computes
     over the full (mostly replicated) depth axis and pruned mode computes
-    over the prefix.
+    over the prefix. The depth-mode equivalence matrix (NOTES round-3/4,
+    3 seeds x 20 epochs) showed that difference is NOT benign for
+    TRAINING at the reference's lr 1e-4: full-depth stats train materially
+    better (test J gap 0.22-0.61), so 'full' is the default everywhere and
+    'pruned' is reserved for inference/benchmarking (PARITY.md).
 
 Dead params: the reference defines seg_d1..seg_d4/seg_layer heads and
 up4/up8/up16 modules that its forward never uses (mmvit4.py:237-246); they
@@ -56,7 +60,7 @@ class DecoderFuse(fnn.Module):
     mmmvit2.py:120)."""
 
     num_cls: int = 1
-    depth_mode: str = "pruned"  # 'full' | 'pruned'
+    depth_mode: str = "full"  # 'full' (parity default) | 'pruned' (fast inference)
     use_reduce: bool = True  # RFM5_reduce present (MMVit4) or not (MMVit2)
     use_pallas_epilogue: bool = False  # fused ReLU+IN kernel on TPU
     dtype: Dtype = None

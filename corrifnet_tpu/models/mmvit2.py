@@ -124,7 +124,7 @@ class MMVit2(fnn.Module):
     dtype: Dtype = None
     use_pallas: bool = True
     use_correlation: bool = True
-    depth_mode: str = "pruned"
+    depth_mode: str = "full"
     transformer_dropout: float = 0.1  # reference rate; a knob so the
     # train-dynamics parity test can run deterministically
 

@@ -90,7 +90,7 @@ class MMVit4(fnn.Module):
     num_cls: int = 1
     dtype: Dtype = None
     use_pallas: bool = True
-    depth_mode: str = "pruned"  # decoder depth mode: 'full' | 'pruned'
+    depth_mode: str = "full"  # decoder depth mode: 'full' (parity) | 'pruned' (fast inference)
     remat_mode: str = "all"  # encoder scan remat: 'all' | 'mid' | 'early' |
     # 'none' | 'mid1' ('mid' for the packed stage 1 only, 'all' elsewhere —
     # stage 1's bwd recompute is the big remat cost, ~7.9 of 74.7 ms at B=8,
