@@ -63,6 +63,10 @@ class DecoderFuse(fnn.Module):
     depth_mode: str = "full"  # 'full' (parity default) | 'pruned' (fast inference)
     use_reduce: bool = True  # RFM5_reduce present (MMVit4) or not (MMVit2)
     use_pallas_epilogue: bool = False  # fused ReLU+IN kernel on TPU
+    fuse_depth: bool = True  # full mode: contract depth resizes into the
+    # convs (nn/depthfuse.py) — exact (f32 reassociation only), never
+    # materializes the depth-resized volumes. Off = the naive
+    # resize-then-conv path (kept for A/B and as the oracle in tests).
     dtype: Dtype = None
 
     @fnn.compact
@@ -72,6 +76,7 @@ class DecoderFuse(fnn.Module):
         Returns sigmoid prediction in reference layout (B, 3, 1, 224, 224).
         """
         pruned = self.depth_mode == "pruned"
+        fuse = self.fuse_depth and not pruned
         dt = self.dtype
 
         def gconv(feat, k, pad, name):
@@ -86,15 +91,43 @@ class DecoderFuse(fnn.Module):
                 use_pallas_epilogue=self.use_pallas_epilogue, dtype=dt, name=name
             )
 
-        def up2(x, src_d, dst_prefix, hw):
+        def up2_conv(x, src_d, dst_prefix, hw, feat, name):
+            """conv(name)(up2(x)) — trilinear x2 then 3^3 conv. In fused
+            full mode the depth doubling contracts into the conv
+            (depth_fuse nn/depthfuse.py): H/W resize at COARSE depth, conv
+            at coarse depth, static depth expansion — exact."""
             if pruned:
-                return resize_linear_depth_prefix(x, src_d, src_d * 2, dst_prefix, hw)
-            return resize_linear(x, (src_d * 2, *hw), align_corners=True)
+                x = resize_linear_depth_prefix(x, src_d, src_d * 2, dst_prefix, hw)
+                return gconv(feat, 3, 1, name)(x, train)
+            if fuse:
+                # H/W-only resize at coarse depth, in the compute dtype
+                # (bf16 on TPU): the lerp is 2-tap, MXU-accumulated in f32
+                x = resize_linear(
+                    x, (src_d, *hw), align_corners=True, compute_dtype=x.dtype
+                )
+                return gconv(feat, 3, 1, name)(
+                    x, train, depth_fuse=("linear", src_d * 2)
+                )
+            x = resize_linear(x, (src_d * 2, *hw), align_corners=True)
+            return gconv(feat, 3, 1, name)(x, train)
 
-        def skip_resize(x, dst_d, dst_prefix, hw):
+        def skip_concat_conv(skip, run, dst_d, dst_prefix, hw, feat, name):
+            """conv(name)(concat(nearest(skip), run)). In fused full mode
+            the skip stays at its 3 coarse depth rows (H/W-resized only)
+            and its one-hot depth expansion contracts into the conv — the
+            (B, dst_d, H, W, C_skip) volume is never built."""
             if pruned:
-                return resize_nearest_depth_prefix(x, dst_d, dst_prefix, hw)
-            return resize_nearest(x, (dst_d, *hw))
+                skip = resize_nearest_depth_prefix(skip, dst_d, dst_prefix, hw)
+                x = jnp.concatenate([skip, run], axis=-1)
+                return gconv(feat, 3, 1, name)(x, train)
+            if fuse:
+                skip = resize_nearest(skip, (skip.shape[1], *hw))
+                return gconv(feat, 3, 1, name)(
+                    (skip, run), train, depth_fuse=("nearest", dst_d)
+                )
+            skip = resize_nearest(skip, (dst_d, *hw))
+            x = jnp.concatenate([skip, run], axis=-1)
+            return gconv(feat, 3, 1, name)(x, train)
 
         # ---- level 5: multimodal bottleneck (8^3) -------------------------
         de_x5 = FusionPrenorm(BD * 8 * 3, use_pallas_epilogue=self.use_pallas_epilogue, dtype=dt, name="RFM5")(x5, train)
@@ -103,41 +136,37 @@ class DecoderFuse(fnn.Module):
                 BD * 16, 1, kernel_init=tinit.kaiming_normal, dtype=dt,
                 name="RFM5_reduce",
             )(de_x5)
-        de_x5 = up2(de_x5, 8, 5, (16, 16))
-        de_x5 = gconv(BD * 16, 3, 1, "d4_c1")(de_x5, train)
+        de_x5 = up2_conv(de_x5, 8, 5, (16, 16), BD * 16, "d4_c1")
 
         # ---- level 4 ------------------------------------------------------
         de_x4 = FusionPrenorm(BD * 8 * 3, use_pallas_epilogue=self.use_pallas_epilogue, dtype=dt, name="RFM4")(x4, train)
-        de_x4 = skip_resize(de_x4, 16, 4, (16, 16))
-        de_x4 = jnp.concatenate([de_x4, de_x5], axis=-1)  # 192+128=320
-        de_x4 = gconv(BD * 8, 3, 1, "d4_c2")(de_x4, train)
+        de_x4 = skip_concat_conv(
+            de_x4, de_x5, 16, 4, (16, 16), BD * 8, "d4_c2"
+        )  # 192+128=320
         de_x4 = gconv(BD * 8, 1, 0, "d4_out")(de_x4, train)
-        de_x4 = up2(de_x4, 16, 5, (32, 32))
-        de_x4 = gconv(BD * 4, 3, 1, "d3_c1")(de_x4, train)
+        de_x4 = up2_conv(de_x4, 16, 5, (32, 32), BD * 4, "d3_c1")
 
         # ---- level 3 ------------------------------------------------------
         de_x3 = FusionPrenorm(BD * 4 * 3, use_pallas_epilogue=self.use_pallas_epilogue, dtype=dt, name="RFM3")(x3, train)
-        de_x3 = skip_resize(de_x3, 32, 4, (32, 32))
-        de_x3 = jnp.concatenate([de_x3, de_x4], axis=-1)  # 96+32=128
-        de_x3 = gconv(BD * 4, 3, 1, "d3_c2")(de_x3, train)
+        de_x3 = skip_concat_conv(
+            de_x3, de_x4, 32, 4, (32, 32), BD * 4, "d3_c2"
+        )  # 96+32=128
         de_x3 = gconv(BD * 4, 1, 0, "d3_out")(de_x3, train)
-        de_x3 = up2(de_x3, 32, 5, (64, 64))
-        de_x3 = gconv(BD * 2, 3, 1, "d2_c1")(de_x3, train)
+        de_x3 = up2_conv(de_x3, 32, 5, (64, 64), BD * 2, "d2_c1")
 
         # ---- level 2 ------------------------------------------------------
         de_x2 = FusionPrenorm(BD * 2 * 3, use_pallas_epilogue=self.use_pallas_epilogue, dtype=dt, name="RFM2")(x2, train)
-        de_x2 = skip_resize(de_x2, 64, 4, (64, 64))
-        de_x2 = jnp.concatenate([de_x2, de_x3], axis=-1)  # 48+16=64
-        de_x2 = gconv(BD * 2, 3, 1, "d2_c2")(de_x2, train)
+        de_x2 = skip_concat_conv(
+            de_x2, de_x3, 64, 4, (64, 64), BD * 2, "d2_c2"
+        )  # 48+16=64
         de_x2 = gconv(BD * 2, 1, 0, "d2_out")(de_x2, train)
-        de_x2 = up2(de_x2, 64, 4, (128, 128))
-        de_x2 = gconv(BD, 3, 1, "d1_c1")(de_x2, train)
+        de_x2 = up2_conv(de_x2, 64, 4, (128, 128), BD, "d1_c1")
 
         # ---- level 1 ------------------------------------------------------
         de_x1 = FusionPrenorm(BD * 3, use_pallas_epilogue=self.use_pallas_epilogue, dtype=dt, name="RFM1")(x1, train)
-        de_x1 = skip_resize(de_x1, 128, 3, (128, 128))
-        de_x1 = jnp.concatenate([de_x1, de_x2], axis=-1)  # 24+8=32
-        de_x1 = gconv(BD, 3, 1, "d1_c2")(de_x1, train)
+        de_x1 = skip_concat_conv(
+            de_x1, de_x2, 128, 3, (128, 128), BD, "d1_c2"
+        )  # 24+8=32
         de_x1 = gconv(BD, 1, 0, "d1_out")(de_x1, train)
 
         # ---- head: up_to_224 keeps depth slice 0 only (align_corners=True

@@ -115,8 +115,20 @@ class Conv(fnn.Module):
     dtype: Dtype = None  # compute dtype; params stay float32
 
     @fnn.compact
-    def __call__(self, x):
-        nsp = x.ndim - 2
+    def __call__(self, x, depth_fuse=None):
+        """``depth_fuse`` (full-depth decoder fast path, nn/depthfuse.py):
+        ``("linear", dst_d)`` — x is the depth-COARSE volume and the conv
+        computes conv3d(depth_linear_resize(x, dst_d)) without
+        materializing it; ``("nearest", dst_d)`` — x is a (skip, run)
+        tuple: conv3d(concat(nearest_depth_resize(skip, dst_d), run)).
+        Params are IDENTICAL to the unfused conv (same shapes/init), so
+        checkpoints are interchangeable across the two paths."""
+        if depth_fuse is not None:
+            parts = x if isinstance(x, tuple) else (x,)
+            nsp = 3
+        else:
+            parts = (x,)
+            nsp = x.ndim - 2
         ks = _tuple(self.kernel_size, nsp)
         st = _tuple(self.strides, nsp)
         pd = _tuple(self.padding, nsp)
@@ -124,7 +136,7 @@ class Conv(fnn.Module):
         # (used by the depth-pruned decoder for top-edge-only padding).
         pd = tuple((p, p) if isinstance(p, int) else tuple(p) for p in pd)
         dl = _tuple(self.dilation, nsp)
-        in_ch = x.shape[-1]
+        in_ch = sum(p.shape[-1] for p in parts)
         assert in_ch % self.groups == 0
         m = self.modalities
         if m > 1:
@@ -160,9 +172,14 @@ class Conv(fnn.Module):
                 b_init = self.bias_init or tinit.torch_default_bias(fan_in)
                 bias = self.param("bias", b_init, (self.features,), jnp.float32)
 
-        cdtype = self.dtype or x.dtype
-        x = x.astype(cdtype)
+        cdtype = self.dtype or parts[0].dtype
         kernel = kernel.astype(cdtype)
+        if depth_fuse is not None:
+            return self._depth_fused(
+                tuple(p.astype(cdtype) for p in parts), kernel, bias, pd,
+                cdtype, depth_fuse,
+            )
+        x = x.astype(cdtype)
 
         # Depth-1 reduction: a 3-D conv over a single depth slice with
         # same-size output is exactly a 2-D conv — replicate padding sees
@@ -220,6 +237,15 @@ class Conv(fnn.Module):
                     and d_ * self.features <= 160
                 ):
                     return self._depth3_banded(x, kernel, bias, st, pd, dl, cdtype)
+                # NOTE a grouped-depth banded form for LARGE depth counts
+                # (G output depths folded into channels, 128 output lanes at
+                # (G+2)/3 x the MACs) was built and measured on hardware at
+                # the d1_c2 shape (8,128,128,128,32->8): banded16 43.9 /
+                # banded4 43.0 ms vs the shipping tapout shift-add 36.9 ms
+                # (scripts/micro_fullconv.py, NOTES round-4) — the FLOP
+                # duplication hits fwd, dgrad AND wgrad, eating the lane
+                # win. Rejected; the full-depth decoder perf comes from the
+                # exact depth-structure rewrites in nn/depthfuse.py instead.
                 return self._depth3_decomposed(x, kernel, bias, st, pd, dl, cdtype)
             if self.groups == 1:
                 return self._depth3_strided(x, kernel, bias, st, pd, dl, cdtype)
@@ -285,6 +311,38 @@ class Conv(fnn.Module):
             )
         if fold:
             y = y.reshape(*orig_shape[: 1 + fold], *y.shape[1:])
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y.astype(cdtype)
+
+    def _depth_fused(self, parts, kernel, bias, pd, cdtype, depth_fuse):
+        """Full-depth decoder fast path (see ``__call__`` docstring and
+        nn/depthfuse.py). Exact: same math as depth-resize + conv."""
+        from corrifnet_tpu.nn.depthfuse import fused_resize_conv
+
+        kind, dst_d = depth_fuse
+        assert (
+            kernel.shape[0] == 3
+            and pd[0] == (1, 1)
+            and self.groups == 1
+            and self.modalities == 1
+        ), (kernel.shape, pd, self.groups)
+        if kind == "linear":
+            (z,) = parts
+            y = fused_resize_conv(
+                z, kernel, dst_d, "linear", self.pad_mode, pd, cdtype
+            )
+        else:
+            skip, run = parts
+            cs = skip.shape[-1]
+            y = fused_resize_conv(
+                skip, kernel[..., :cs, :], dst_d, "nearest", self.pad_mode,
+                pd, cdtype,
+            )
+            y = y + self._depth3_shift_add(
+                run, kernel[..., cs:, :], None, (1, 1, 1), pd, (1, 1, 1),
+                cdtype,
+            )
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y.astype(cdtype)
@@ -690,7 +748,7 @@ class GeneralConv3d(fnn.Module):
     dtype: Dtype = None
 
     @fnn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, depth_fuse=None):
         x = Conv(
             self.features,
             self.kernel_size,
@@ -700,7 +758,7 @@ class GeneralConv3d(fnn.Module):
             kernel_init=self.kernel_init,
             dtype=self.dtype,
             name="conv",
-        )(x)
+        )(x, depth_fuse=depth_fuse)
         if (
             self.use_pallas_epilogue
             and self.order == "act_norm"

@@ -62,23 +62,33 @@ def _nearest_indices(src: int, dst: int) -> np.ndarray:
     return np.minimum(idx, src - 1)
 
 
-def resize_linear(x: jnp.ndarray, size: Sequence[int], align_corners: bool = True):
+def resize_linear(
+    x: jnp.ndarray,
+    size: Sequence[int],
+    align_corners: bool = True,
+    compute_dtype=None,
+):
     """Linear/bilinear/trilinear resize of the spatial axes of a
     channels-last array ``(B, *spatial, C)`` to ``size``.
 
-    Matches torch ``F.interpolate(mode='(bi|tri)linear')``.
+    Matches torch ``F.interpolate(mode='(bi|tri)linear')``. Interpolation
+    runs in f32 by default; ``compute_dtype`` overrides it (the full-depth
+    decoder's fused path interpolates bf16 volumes in bf16 — the MXU still
+    accumulates the two-tap lerp in f32, and the f32 round trip doubled
+    HBM traffic on the (B,64,128,128,C) volumes for no precision gain).
     """
     spatial_axes = tuple(range(1, x.ndim - 1))
     assert len(size) == len(spatial_axes), (x.shape, size)
     dtype = x.dtype
+    ctype = compute_dtype or jnp.float32
     y = x
     for ax, dst in zip(spatial_axes, size):
         src = y.shape[ax]
         if src == dst:
             continue
-        w = jnp.asarray(_linear_matrix(src, dst, align_corners), dtype=jnp.float32)
+        w = jnp.asarray(_linear_matrix(src, dst, align_corners), dtype=ctype)
         y = jnp.tensordot(
-            w, y.astype(jnp.float32), axes=[[1], [ax]]
+            w, y.astype(ctype), axes=[[1], [ax]]
         )  # -> dst axis first
         y = jnp.moveaxis(y, 0, ax)
     return y.astype(dtype)

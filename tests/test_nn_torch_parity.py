@@ -313,3 +313,5 @@ def test_depth3_shift_add_tapout_matches_decomposed(pad_mode, depth_pad):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
     )
+
+
