@@ -89,7 +89,9 @@ def bench_train_step(batch_size=8, chain=10, iters=3, rt_floor=0.0,
     state = init_state(model, jax.random.PRNGKey(0), images, optimizer)
     multi = make_train_multi_step(
         model, optimizer,
-        auto_layout=os.environ.get("BENCH_AUTO_LAYOUT", "1") == "1",
+        # default OFF since round 4 (matches config.py: the CLI path's
+        # canary falls back anyway and the win was ~2-3%, mood-dependent)
+        auto_layout=os.environ.get("BENCH_AUTO_LAYOUT", "0") == "1",
     )
     imgs_k = jnp.broadcast_to(images[None], (chain, *images.shape))
     masks_k = jnp.broadcast_to(masks[None], (chain, *masks.shape))
@@ -164,7 +166,7 @@ def _probe_levers(batch, best_base, deadline):
         return best_base
     # (label, remat, fusebn, fusedblk)
     combos = [
-        ("layout:off", "all", "0", "0"),  # A/B the default-on auto layouts
+        ("layout:on", "all", "0", "0"),  # A/B the default-OFF auto layouts
         ("fusedblk", "all", "0", "1"),
         ("remat:mid", "mid", "0", "0"),
         ("fusebn", "all", "1", "0"),
@@ -180,8 +182,8 @@ def _probe_levers(batch, best_base, deadline):
             break
         env = dict(os.environ)
         env["BENCH_ONECONF"] = f"{batch},0,{remat},{fusebn},{fusedblk}"
-        if label == "layout:off":
-            env["BENCH_AUTO_LAYOUT"] = "0"
+        if label == "layout:on":
+            env["BENCH_AUTO_LAYOUT"] = "1"
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],

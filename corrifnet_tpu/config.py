@@ -63,10 +63,16 @@ class ExperimentConfig:
                              # models/resnet3d.py, models/mmvit4.py)
     scan_unroll: int = 1     # MMVit4 encoder tail-scan unroll; 0 = full
                              # unroll (smaller device time, bigger program)
-    auto_layout: bool = True  # XLA-chosen train-state layouts (kills the
-                              # param/grad layout copies around the conv
-                              # backward; single-device only — ignored
-                              # when mesh_shape is set)
+    auto_layout: bool = False  # XLA-chosen train-state layouts. OPT-IN:
+                              # on the CLI's TPU path (rbg keys) the
+                              # executable fails its layout canary and
+                              # falls back anyway (observed r3 + r4), and
+                              # the measured win on canary-passing
+                              # programs is ~2-3%, backend-mood-dependent
+                              # (NOTES round-4) — not worth carrying the
+                              # state-swap machinery on the user path by
+                              # default. Single-device only — ignored
+                              # when mesh_shape is set.
     extended_checkpoints: bool = False  # also save the FULL TrainState
                               # (params + optimizer moments + step) each
                               # epoch as state{i} — enables true

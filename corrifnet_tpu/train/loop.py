@@ -172,7 +172,7 @@ def train_model(
     start_epoch: int = 0,
     extended_checkpoints: bool = False,
     chain_steps: int = 1,
-    auto_layout: bool = True,
+    auto_layout: bool = False,  # opt-in since round 4 (see config.py)
 ):
     """F4_TRAIN.py:39-86 equivalent. Returns the final TrainState.
 

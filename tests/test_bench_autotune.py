@@ -3,8 +3,15 @@ the parse / combine / budget rules are exercised without TPU time."""
 
 import importlib.util
 import sys
+import time
 
 import pytest
+
+
+def _deadline(seconds=3600.0):
+    """A generous future deadline — these tests exercise parse/combine
+    rules, never the budget cutoff (which has its own test)."""
+    return time.monotonic() + seconds
 
 
 @pytest.fixture(scope="module")
@@ -49,7 +56,7 @@ def test_probe_levers_returns_best_and_combines(bench, monkeypatch):
     }
     _patch_run(monkeypatch, values, calls)
     monkeypatch.delenv("BENCH_AUTOTUNE", raising=False)
-    best = bench._probe_levers(8, 100.0)
+    best = bench._probe_levers(8, 100.0, _deadline())
     assert best == 140.0
     # combo inserted immediately after remat:mid, before fusebn
     assert [c.split(",")[2:] for c in calls] == [
@@ -69,22 +76,23 @@ def test_probe_levers_no_combo_when_a_lever_loses(bench, monkeypatch):
     }
     _patch_run(monkeypatch, values, calls)
     monkeypatch.delenv("BENCH_AUTOTUNE", raising=False)
-    best = bench._probe_levers(8, 100.0)
+    best = bench._probe_levers(8, 100.0, _deadline())
     assert best == 120.0
     assert len(calls) == 4
 
 
 def test_probe_levers_disabled(bench, monkeypatch):
     monkeypatch.setenv("BENCH_AUTOTUNE", "0")
-    assert bench._probe_levers(8, 100.0) == 100.0
+    assert bench._probe_levers(8, 100.0, _deadline()) == 100.0
 
 
-def test_probe_levers_budget_zero_runs_nothing(bench, monkeypatch):
+def test_probe_levers_expired_deadline_runs_nothing(bench, monkeypatch):
+    """A deadline already in the past (the global BENCH_DEADLINE_S gate)
+    must skip every probe and return the base value untouched."""
     calls = []
     _patch_run(monkeypatch, {}, calls)
     monkeypatch.delenv("BENCH_AUTOTUNE", raising=False)
-    monkeypatch.setenv("BENCH_AUTOTUNE_BUDGET_S", "0")
-    assert bench._probe_levers(8, 100.0) == 100.0
+    assert bench._probe_levers(8, 100.0, _deadline(0)) == 100.0
     assert calls == []
 
 
@@ -106,7 +114,7 @@ def test_probe_levers_survives_failed_child(bench, monkeypatch):
     monkeypatch.setattr(subprocess, "run", fake_run)
     monkeypatch.delenv("BENCH_AUTOTUNE", raising=False)
     monkeypatch.delenv("BENCH_AUTOTUNE_BUDGET_S", raising=False)
-    assert bench._probe_levers(8, 100.0) == 100.0
+    assert bench._probe_levers(8, 100.0, _deadline()) == 100.0
     assert len(calls) == 4
 
 
@@ -124,7 +132,7 @@ def test_measure_full_depth_sets_env_and_parses(bench, monkeypatch):
 
     monkeypatch.setattr(subprocess, "run", fake_run)
     monkeypatch.delenv("BENCH_FULL_ROW", raising=False)
-    assert bench._measure_full_depth(8) == 61.25
+    assert bench._measure_full_depth(8, _deadline()) == 61.25
     assert seen["depth"] == "full"
     assert seen["conf"] == "8,0,all,0,0"
 
@@ -133,7 +141,7 @@ def test_measure_full_depth_disabled_and_failed(bench, monkeypatch):
     import subprocess
 
     monkeypatch.setenv("BENCH_FULL_ROW", "0")
-    assert bench._measure_full_depth(8) == 0.0
+    assert bench._measure_full_depth(8, _deadline()) == 0.0
     monkeypatch.delenv("BENCH_FULL_ROW", raising=False)
 
     def fake_run(cmd, capture_output, text, timeout, env):
@@ -144,4 +152,4 @@ def test_measure_full_depth_disabled_and_failed(bench, monkeypatch):
         return r
 
     monkeypatch.setattr(subprocess, "run", fake_run)
-    assert bench._measure_full_depth(8) == 0.0
+    assert bench._measure_full_depth(8, _deadline()) == 0.0

@@ -47,6 +47,10 @@ def _cfg(n_epochs):
         n_epochs=n_epochs, learn_rate=1e-3, modeltype="TinySeg5D",
         lim=224, synthetic_seed=0, dtype="float32",
         extended_checkpoints=True,
+        # pinned ON: resume through the CLI must keep exercising the
+        # auto-layout canary path (the r3 aliasing crash) now that the
+        # config default is off
+        auto_layout=True,
     )
 
 

@@ -187,6 +187,9 @@ def test_kill_and_resume_matches_uninterrupted(setup, tmp_path):
         learn_rate=1e-3, step_size=5, gamma=0.9, images=data.images,
         masks=data.masks, trind=trind, vlind=vlind, batch_size=3, lim=lim,
         logs=None, i=0, rng=base_rng, val_from_checkpoint=False,
+        # pinned ON: the resume x auto-layout interaction (the r3 canary
+        # aliasing crash) must stay covered now the default is off
+        auto_layout=True,
     )
 
     ck_a = Checkpointer(tmp_path / "a")
