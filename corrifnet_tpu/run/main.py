@@ -93,7 +93,7 @@ def _enable_compile_cache():
 
 
 def run_experiment(cfg: ExperimentConfig, run_root=".", index: int = 0,
-                   resume_dir=None):
+                   resume_dir=None, deadline_s=None):
     """One experiment (F2_MAIN.py:45-313). With ``resume_dir`` (a prior
     run directory trained with ``extended_checkpoints=true``), training
     continues mid-protocol from the ``state{index}`` checkpoint — full
@@ -101,10 +101,18 @@ def run_experiment(cfg: ExperimentConfig, run_root=".", index: int = 0,
     to the last completed epoch and appended, per-epoch dropout RNG
     folded from the base key so the stream is process-count independent.
     True resume is a capability the reference lacks (it saves weights
-    only, F4_TRAIN.py:84)."""
+    only, F4_TRAIN.py:84).
+
+    ``deadline_s`` bounds the TRAINING wall clock: past it, training
+    stops at the next epoch boundary (fully logged + resumable) and the
+    test phase runs on the model reached — so a budgeted run still
+    produces the complete 7-logfile artifact set incl. testaccFile."""
     begin = datetime.datetime.now()
     _enable_compile_cache()
     print("devices:", jax.devices())
+    import time as _time
+
+    deadline = (_time.monotonic() + float(deadline_s)) if deadline_s else None
 
     tsind, trind, vlind = cross_val(cfg.train_set_size, cfg.fno, cfg.fsiz)
     data = load_dstl(
@@ -206,6 +214,7 @@ def run_experiment(cfg: ExperimentConfig, run_root=".", index: int = 0,
         start_epoch=start_epoch,
         # a resumed run must stay resumable regardless of the flag
         extended_checkpoints=cfg.extended_checkpoints or resume_dir is not None,
+        deadline=deadline,
     )
     if prior_history is not None:
         history = {k: prior_history[k] + history[k] for k in history}
@@ -322,6 +331,10 @@ def main(argv=None):
                     help="continue an interrupted run in-place from its "
                          "state{i} extended checkpoint (requires the run to "
                          "have been started with extended_checkpoints=true)")
+    ap.add_argument("--train-deadline-s", type=float, default=None,
+                    help="wall-clock budget for TRAINING: past it, stop at "
+                         "the next epoch boundary (fully logged, resumable) "
+                         "and proceed to the test phase")
     args = ap.parse_args(argv)
     if not args.config:
         ap.error("--config is required")
@@ -337,7 +350,8 @@ def main(argv=None):
         cfg = load_config(cfg_path)
         if args.synthetic_seed is not None:
             cfg.synthetic_seed = args.synthetic_seed
-        result = run_experiment(cfg, args.run_root, i, resume_dir=args.resume)
+        result = run_experiment(cfg, args.run_root, i, resume_dir=args.resume,
+                                deadline_s=args.train_deadline_s)
         print(f"[model{i}] test jaccard:", result["test_jaccard"],
               "fps:", result["fps"])
         results[i] = result

@@ -173,6 +173,7 @@ def train_model(
     extended_checkpoints: bool = False,
     chain_steps: int = 1,
     auto_layout: bool = False,  # opt-in since round 4 (see config.py)
+    deadline: Optional[float] = None,
 ):
     """F4_TRAIN.py:39-86 equivalent. Returns the final TrainState.
 
@@ -195,7 +196,16 @@ def train_model(
     ``state{i}``; restore it with ``Checkpointer.restore_state`` and pass
     ``start_epoch`` to continue bitwise-identically — the per-epoch RNG is
     folded from the base key and the epoch index, so the dropout stream
-    does not depend on how many epochs ran in this process."""
+    does not depend on how many epochs ran in this process.
+
+    ``deadline`` (absolute ``time.monotonic()`` value) stops training at
+    the first EPOCH BOUNDARY past it — the epoch's logs, per-epoch
+    checkpoint, validation and ``state{i}`` resume checkpoint have all
+    been written, so the run is complete-so-far and resumable; the
+    caller proceeds to the test phase as usual. At least one epoch
+    always runs. New capability vs the reference (whose interrupted runs
+    lose everything, F4_TRAIN.py:39-86) — it turns a wall-clock budget
+    into a bounded, fully-logged, resumable protocol prefix."""
     rng = rng if rng is not None else default_dropout_key(0)
     batch_sh = None
     if mesh is not None:
@@ -342,6 +352,14 @@ def train_model(
         # partial epoch an interrupted process left behind.
         if checkpoint_every_epoch and ckpt is not None and extended_checkpoints:
             ckpt.save_state(f"state{i}", state)
+        if deadline is not None and time.monotonic() >= deadline:
+            msg = (f"deadline reached after epoch {epoch} "
+                   f"({epoch + 1}/{n_epochs} epochs) — stopping; resume "
+                   f"with run.main --resume")
+            print(msg)
+            if logs is not None:
+                logs.lr.write(msg + "\n")
+            break
 
     if ckpt is not None:
         ckpt.save(final_ckpt_name(i), state.params, state.batch_stats)

@@ -17,7 +17,10 @@ export PYTHONPATH="$(pwd):$PYTHONPATH"   # the run step cd's out of the repo
 ROOT=${1:-/root/dstl_scale}
 N=${2:-5985}
 EPOCHS=${3:-70}
-MODE=${4:-pruned}
+MODE=${4:-full}
+DEADLINE=${5:-}   # optional: wall-clock training budget in seconds —
+                  # training stops at an epoch boundary past it (resumable)
+                  # and the test phase still runs (testaccFile written)
 RUN="$ROOT/run_${MODE}"
 mkdir -p "$RUN"
 
@@ -62,11 +65,14 @@ EOF
 #    extended checkpoint (run.main --resume) instead of restarted.
 cd "$RUN"
 T0=$SECONDS
+DL=()
+if [ -n "$DEADLINE" ]; then DL=(--train-deadline-s "$DEADLINE"); fi
 PREV=$(ls -dt ./*model0 2>/dev/null | head -1)
 if [ -n "$PREV" ] && [ -e "$PREV/state0" ]; then
   python -m corrifnet_tpu.run.main --config cfg.json --run-root . \
-      --resume "$PREV" 2>&1 | tail -40
+      --resume "$PREV" "${DL[@]}" 2>&1 | tail -40
 else
-  python -m corrifnet_tpu.run.main --config cfg.json --run-root . 2>&1 | tail -40
+  python -m corrifnet_tpu.run.main --config cfg.json --run-root . \
+      "${DL[@]}" 2>&1 | tail -40
 fi
 echo "run wall: $((SECONDS - T0)) s"

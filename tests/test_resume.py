@@ -129,3 +129,37 @@ def test_resume_requires_extended_checkpoint(tmp_path):
             run_experiment(_cfg(2), index=0, resume_dir=res["run_dir"])
     finally:
         cv._SPLITS_DIR = old
+
+
+def test_deadline_stops_at_epoch_boundary_and_still_tests(tmp_path):
+    """A wall-clock training deadline (run.main --train-deadline-s) stops at
+    an epoch boundary, still runs the test phase (testaccFile non-empty),
+    and leaves a resumable run that continues to the full protocol."""
+    from pathlib import Path
+
+    from corrifnet_tpu.data import write_permutation
+    import corrifnet_tpu.data.crossval as cv
+
+    write_permutation(24, tmp_path, seed=0)
+    old = cv._SPLITS_DIR
+    cv._SPLITS_DIR = tmp_path
+    try:
+        # deadline already expired at start -> exactly one epoch runs
+        res = run_experiment(_cfg(3), run_root=tmp_path / "d", index=0,
+                             deadline_s=1e-3)
+        run_dir = Path(res["run_dir"])
+        assert len(res["history"]["train_loss"]) == 1
+        assert len(res["history"]["val_jac"]) == 1
+        # complete artifact set despite the early stop
+        assert (run_dir / "testaccFile.txt").read_text().strip()
+        assert (run_dir / "fpsfile.txt").exists()
+        assert (run_dir / "state0").exists()  # resumable
+
+        # resumed (no deadline) -> completes the 3-epoch protocol
+        res2 = run_experiment(_cfg(3), index=0, resume_dir=run_dir)
+        assert len(res2["history"]["train_loss"]) == 3
+        assert (run_dir / "trainepochFile.txt").read_text().split() == [
+            "0", "1", "2"
+        ]
+    finally:
+        cv._SPLITS_DIR = old
