@@ -100,19 +100,53 @@ def make_batches(
     return batch_iterator(images, masks, indices, batch_size)
 
 
-def device_prefetch(batches: Iterator[Batch], size: int = 2, sharding=None):
+def wire_cast_batch(b: Batch) -> Batch:
+    """Shrink a batch's host->device WIRE bytes without changing what the
+    device computes. Through a tunneled/remote TPU attach the transfer is
+    the training-epoch bottleneck (measured ~18 GB/epoch at f32 for the
+    reference's 5,985-patch protocol, ~41 MB/s effective — NOTES round 4):
+
+    * images: f32 -> bf16 on the host. Bit-identical to the status quo
+      when the model computes in bf16 (MMVit4 casts its input first thing,
+      models/mmvit4.py ``.astype(cdtype)``) — the same round-to-nearest-
+      even cast just happens before the wire instead of after. Callers
+      must gate on the model compute dtype (see train_model).
+    * masks: f32 -> uint8 when exactly representable (the reference's
+      masks are binary building masks, F8_IMAGES4.py:30-34); the jitted
+      steps cast back to f32 on device — exact for 0/1. Non-binary masks
+      pass through untouched.
+    * valid: (B,) — too small to matter, untouched.
+    """
+    import ml_dtypes
+
+    im, ma = b.images, b.masks
+    if im.dtype == np.float32:
+        im = im.astype(ml_dtypes.bfloat16)
+    if ma.dtype == np.float32:
+        ma8 = ma.astype(np.uint8)
+        if (ma8 == ma).all():
+            ma = ma8
+    return Batch(im, ma, b.valid)
+
+
+def device_prefetch(batches: Iterator[Batch], size: int = 2, sharding=None,
+                    wire_cast: bool = False):
     """Overlap host->device transfer with compute: keep ``size`` batches
     in flight on device ahead of the consumer (the standard TPU input
     pipeline; jax transfers are async so enqueueing ahead suffices).
 
     ``sharding`` (e.g. ``parallel.batch_sharding(mesh)``) places each batch
-    array across the mesh's data axis.
+    array across the mesh's data axis. ``wire_cast`` applies
+    ``wire_cast_batch`` before the transfer (only when the consumer
+    computes in bf16 — see that function's contract).
     """
     import collections
 
     import jax
 
     def put(b: Batch) -> Batch:
+        if wire_cast:
+            b = wire_cast_batch(b)
         if sharding is not None:
             return Batch(
                 jax.device_put(b.images, sharding),

@@ -65,7 +65,18 @@ def default_dropout_key(seed: int = 0):
     return jax.random.key(seed, impl=impl)
 
 
-def _run_eval(eval_step, params, batch_stats, images, masks, indices, batch_size, lim):
+def _wire_cast_enabled(model) -> bool:
+    """Host->device wire casting (data.dataset.wire_cast_batch) is exact
+    only when the model's first op casts to bf16 anyway — gate on the
+    compute dtype. CORRIFNET_WIRE_CAST=0 kills it."""
+    return (
+        os.environ.get("CORRIFNET_WIRE_CAST", "1") == "1"
+        and getattr(model, "dtype", None) == jnp.bfloat16
+    )
+
+
+def _run_eval(eval_step, params, batch_stats, images, masks, indices, batch_size,
+              lim, wire_cast=False):
     """Shared eval loop: (mean loss, weighted Jaccard, first-batch outputs)."""
     if len(indices) == 0:
         raise ValueError(
@@ -90,6 +101,10 @@ def _run_eval(eval_step, params, batch_stats, images, masks, indices, batch_size
             first_outputs = np.asarray(m["outputs"])
 
     for batch in make_batches(images, masks, indices, batch_size):
+        if wire_cast:
+            from corrifnet_tpu.data.dataset import wire_cast_batch
+
+            batch = wire_cast_batch(batch)
         m = eval_step(params, batch_stats, batch.images, batch.masks, batch.valid)
         drain()
         prev = m
@@ -109,6 +124,7 @@ def validate(
     ckpt: Optional[Checkpointer] = None,
     i: int = 0,
     val_from_checkpoint: bool = True,
+    wire_cast: bool = False,
 ):
     """F4_TRAIN.py:90-208. Optionally restores the epoch checkpoint from
     disk (the reference's accidental end-to-end save/load test, :180)."""
@@ -118,7 +134,8 @@ def validate(
             epoch_ckpt_name(i), {"params": params, "batch_stats": batch_stats}
         )
     val_loss, val_jac, _ = _run_eval(
-        eval_step, params, batch_stats, images, masks, vlind, batch_size, lim
+        eval_step, params, batch_stats, images, masks, vlind, batch_size, lim,
+        wire_cast=wire_cast,
     )
     if logs is not None:
         logs.val.write(str(val_loss) + "\n")
@@ -238,6 +255,7 @@ def train_model(
 
         multi_step = make_train_multi_step(model, optimizer, auto_layout=slot)
     eval_step = _with_kernel_mesh(make_eval_step(model), mesh)
+    wire_cast = _wire_cast_enabled(model)
 
     history = {"train_loss": [], "train_jac": [], "val_loss": [], "val_jac": []}
     for epoch in range(start_epoch, n_epochs):
@@ -311,7 +329,8 @@ def train_model(
 
         pending = []
         for batch in device_prefetch(
-            make_batches(images, masks, trind, batch_size), sharding=batch_sh
+            make_batches(images, masks, trind, batch_size), sharding=batch_sh,
+            wire_cast=wire_cast,
         ):
             if multi_step is None:
                 run_chunk([batch])
@@ -341,6 +360,7 @@ def train_model(
         val_loss, val_jac = validate(
             eval_step, state, images, masks, vlind, batch_size, lim, logs,
             ckpt if checkpoint_every_epoch else None, i, val_from_checkpoint,
+            wire_cast=wire_cast,
         )
         history["val_loss"].append(val_loss)
         history["val_jac"].append(val_jac)
@@ -388,7 +408,8 @@ def test_model(
         )
     start = time.time()
     test_loss, test_jac, first_outputs = _run_eval(
-        eval_step, params, batch_stats, images, masks, tsind, batch_size, lim
+        eval_step, params, batch_stats, images, masks, tsind, batch_size, lim,
+        wire_cast=_wire_cast_enabled(model),
     )
     elapsed = time.time() - start
     fps = len(tsind) / elapsed if elapsed > 0 else 0.0

@@ -298,6 +298,11 @@ def make_train_multi_step(model, optimizer, auto_layout=None) -> Callable:
 
 def _train_step_fn(model, optimizer) -> Callable:
     def step(state: TrainState, images, masks, valid, lr, rng):
+        # masks may arrive uint8 over the wire (data.dataset.wire_cast_batch
+        # — tunneled-TPU transfer is the epoch bottleneck); the f32 loss
+        # arithmetic is exact for 0/1 either way.
+        masks = jnp.asarray(masks, jnp.float32)
+
         def loss_fn(params):
             out, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -336,6 +341,7 @@ def make_eval_step(model) -> Callable:
     metrics dict. Eval mode: running BN stats, no dropout (model.eval())."""
 
     def step(params, batch_stats, images, masks, valid):
+        masks = jnp.asarray(masks, jnp.float32)  # uint8 over the wire
         out = model.apply(
             {"params": params, "batch_stats": batch_stats}, images, False,
             # deterministic eval elsewhere; RobustMseg(style_noise=True)

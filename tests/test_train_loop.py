@@ -346,3 +346,79 @@ def test_auto_layout_matches_default_layout(setup, tmp_path):
         model, state_b, optimizer, auto_layout=False, **common)
     for key in ["train_loss", "train_jac", "val_loss", "val_jac"]:
         np.testing.assert_allclose(hist_auto[key], hist_plain[key], rtol=1e-6)
+
+
+def test_wire_cast_batch_semantics():
+    """wire_cast_batch: images f32->bf16, binary masks ->uint8, non-binary
+    masks untouched (data/dataset.py — tunneled-TPU transfer bytes)."""
+    import ml_dtypes
+
+    from corrifnet_tpu.data.dataset import Batch, wire_cast_batch
+
+    im = np.random.default_rng(0).normal(size=(2, 3, 3, 8, 8)).astype(np.float32)
+    binary = (np.random.default_rng(1).random((2, 3, 1, 8, 8)) > 0.5).astype(
+        np.float32
+    )
+    valid = np.ones((2,), np.float32)
+    b = wire_cast_batch(Batch(im, binary, valid))
+    assert b.images.dtype == ml_dtypes.bfloat16
+    assert b.masks.dtype == np.uint8
+    np.testing.assert_array_equal(b.masks.astype(np.float32), binary)
+    np.testing.assert_array_equal(
+        b.images, im.astype(ml_dtypes.bfloat16)
+    )
+    assert b.valid.dtype == np.float32
+
+    soft = binary * 0.5  # non-binary: must pass through untouched
+    b2 = wire_cast_batch(Batch(im, soft, valid))
+    assert b2.masks.dtype == np.float32
+    np.testing.assert_array_equal(b2.masks, soft)
+
+
+class TinySegBf16(fnn.Module):
+    """bf16-compute variant: first op casts the input, like the zoo models."""
+
+    dtype: object = jnp.bfloat16
+
+    @fnn.compact
+    def __call__(self, x, train: bool = True):
+        b, m, c, h, w = x.shape
+        y = jnp.moveaxis(x.reshape(b, m * c, h, w), 1, -1).astype(self.dtype)
+        y = fnn.Conv(8, (3, 3), padding="SAME", dtype=self.dtype)(y)
+        y = jax.nn.relu(y)
+        y = fnn.Conv(3, (1, 1), dtype=self.dtype)(y)
+        y = jax.nn.sigmoid(y.astype(jnp.float32))
+        return jnp.moveaxis(y, -1, 1)[:, :, None, :, :]
+
+
+def test_wire_cast_training_is_bit_identical(tmp_path, monkeypatch):
+    """For a bf16-compute model the host-side wire cast must not change a
+    single bit of the trained weights or metrics: the same RTNE f32->bf16
+    cast happens either host-side (before the wire) or device-side (the
+    model's first op)."""
+    lim = 16
+    data = synthetic_dstl(12, lim=lim, seed=0)
+    trind, vlind = np.arange(8), np.arange(8, 10)
+
+    def run(wire: str):
+        monkeypatch.setenv("CORRIFNET_WIRE_CAST", wire)
+        model = TinySegBf16()
+        optimizer = make_optimizer("Adam")
+        state = init_state(
+            model, jax.random.PRNGKey(0), jnp.asarray(data.images[:2]),
+            optimizer,
+        )
+        state2, history = train_model(
+            model, state, optimizer,
+            n_epochs=2, learn_rate=1e-3, step_size=5, gamma=0.9,
+            images=data.images, masks=data.masks, trind=trind, vlind=vlind,
+            batch_size=3, lim=lim, logs=None, ckpt=None, i=0,
+            rng=jax.random.PRNGKey(1), val_from_checkpoint=False,
+        )
+        return state2, history
+
+    s_on, h_on = run("1")
+    s_off, h_off = run("0")
+    assert h_on == h_off
+    for a, b in zip(jax.tree.leaves(s_on.params), jax.tree.leaves(s_off.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
