@@ -22,10 +22,12 @@ import numpy as np
 
 __all__ = [
     "Batch",
+    "DeviceDataset",
     "batch_iterator",
     "make_batches",
     "num_batches",
     "device_prefetch",
+    "wire_cast_batch",
 ]
 
 
@@ -127,6 +129,83 @@ def wire_cast_batch(b: Batch) -> Batch:
         if (ma8 == ma).all():
             ma = ma8
     return Batch(im, ma, b.valid)
+
+
+class DeviceDataset:
+    """Device-RESIDENT dataset: upload images/masks to the accelerator once,
+    build every batch with a jitted on-device gather.
+
+    TPU-first rationale: the reference streams each batch from host RAM
+    every epoch (DataLoader over preloaded tensors, F2_MAIN.py:104-111) —
+    on a local GPU that's a PCIe round trip; through a tunneled/remote TPU
+    attach it is THE epoch bottleneck (~30-36 MB/s effective, ~18 GB/epoch
+    at f32 for the 5,985-patch protocol — NOTES round 4). The protocol's
+    batch sequence is identical every epoch (all randomness lives in the
+    committed permutation file), so the data belongs in HBM: in bf16+u8
+    the full reference-scale set is ~8 GB of the chip's 16.
+
+    Bit-identity with the streaming path: the gather zeroes padded rows
+    (``jnp.where`` on the validity mask), exactly like the host batcher's
+    zero padding, so batch-stats contributions match; the bf16/u8 wire
+    casts are the same RTNE casts the bf16 models apply on device (see
+    ``wire_cast_batch``). Verified in tests/test_data.py.
+
+    Use ``batches(indices, batch_size)`` wherever ``make_batches`` +
+    ``device_prefetch`` would stream; single-device only (under a mesh the
+    sharding layer owns batch placement — keep streaming there).
+    """
+
+    def __init__(self, images: np.ndarray, masks: np.ndarray,
+                 wire_cast: bool = False):
+        import jax
+        import jax.numpy as jnp
+
+        if wire_cast:
+            b = wire_cast_batch(
+                Batch(images, masks, np.ones((1,), np.float32)))
+            images, masks = b.images, b.masks
+        self.images = jax.device_put(images)
+        self.masks = jax.device_put(masks)
+        self.nbytes = images.nbytes + masks.nbytes
+
+        def gather(im, ma, idx, valid):
+            vi = valid.reshape((-1,) + (1,) * (im.ndim - 1))
+            vm = valid.reshape((-1,) + (1,) * (ma.ndim - 1))
+            gi = jnp.where(vi > 0, im[idx], jnp.zeros((), im.dtype))
+            gm = jnp.where(vm > 0, ma[idx], jnp.zeros((), ma.dtype))
+            return gi, gm
+
+        self._gather = jax.jit(gather)
+
+    @staticmethod
+    def fits(images: np.ndarray, masks: np.ndarray, wire_cast: bool,
+             budget_bytes: float = 9.6e9) -> bool:
+        """Conservative placement check: the resident set must leave room
+        for params/optimizer/activations. 9.6e9 = 60% of a v5e's 16 GB
+        (the tunnel backend does not report memory_stats)."""
+        n = images.nbytes + masks.nbytes
+        if wire_cast:
+            n = images.nbytes // 2 + masks.nbytes // 4
+        return n <= budget_bytes
+
+    def batches(self, indices, batch_size: int) -> Iterator[Batch]:
+        """Fixed-shape padded device batches over ``indices`` in order —
+        the `batch_iterator` contract, with the gather on device."""
+        import jax.numpy as jnp
+
+        indices = np.asarray(indices)
+        n = len(indices)
+        for start in range(0, n, batch_size):
+            idx = indices[start : start + batch_size]
+            b = len(idx)
+            valid = np.ones((batch_size,), dtype=np.float32)
+            if b < batch_size:
+                idx = np.concatenate([idx, np.zeros((batch_size - b,), idx.dtype)])
+                valid[b:] = 0.0
+            im, ma = self._gather(
+                self.images, self.masks, jnp.asarray(idx), jnp.asarray(valid)
+            )
+            yield Batch(im, ma, valid)
 
 
 def device_prefetch(batches: Iterator[Batch], size: int = 2, sharding=None,

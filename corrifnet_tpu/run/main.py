@@ -200,6 +200,8 @@ def run_experiment(cfg: ExperimentConfig, run_root=".", index: int = 0,
         mesh = make_mesh(tuple(cfg.mesh_shape))
         print("mesh:", dict(zip(mesh.axis_names, mesh.devices.shape)))
 
+    device_data = _maybe_device_dataset(model, images, masks, mesh)
+
     state, history = train_model(
         model, state, optimizer,
         n_epochs=cfg.n_epochs, learn_rate=cfg.learn_rate,
@@ -215,6 +217,7 @@ def run_experiment(cfg: ExperimentConfig, run_root=".", index: int = 0,
         # a resumed run must stay resumable regardless of the flag
         extended_checkpoints=cfg.extended_checkpoints or resume_dir is not None,
         deadline=deadline,
+        device_data=device_data,
     )
     if prior_history is not None:
         history = {k: prior_history[k] + history[k] for k in history}
@@ -222,6 +225,7 @@ def run_experiment(cfg: ExperimentConfig, run_root=".", index: int = 0,
     test_loss, test_jac, fps, first_outputs = test_model(
         model, state, images, masks, tsind,
         cfg.mini_batch_size, cfg.lim, logs, ckpt, i=index,
+        device_data=device_data,
     )
 
     # First-test-image overlay (F7_TEST2.py:136-166).
@@ -254,6 +258,32 @@ def run_experiment(cfg: ExperimentConfig, run_root=".", index: int = 0,
         "fps": fps,
         "history": history,
     }
+
+
+def _maybe_device_dataset(model, images, masks, mesh):
+    """Place the whole dataset in device memory when it fits (see
+    ``data.dataset.DeviceDataset`` — through a tunneled TPU attach the
+    per-epoch host->device stream is the wall-clock bottleneck).
+
+    Auto: on for accelerator backends, single-device only (under a mesh
+    the sharding layer owns batch placement), sized against a
+    conservative HBM budget. ``CORRIFNET_DEVICE_DATA``: ``0`` kills it,
+    ``1`` forces it (e.g. to exercise the path on CPU), unset = auto."""
+    from corrifnet_tpu.data.dataset import DeviceDataset
+    from corrifnet_tpu.train.loop import _wire_cast_enabled
+
+    mode = os.environ.get("CORRIFNET_DEVICE_DATA", "auto")
+    wire = _wire_cast_enabled(model)
+    if mode == "0" or mesh is not None:
+        return None
+    if mode != "1":
+        on_accel = jax.default_backend() not in ("cpu",)
+        if not (on_accel and DeviceDataset.fits(images, masks, wire)):
+            return None
+    dd = DeviceDataset(images, masks, wire_cast=wire)
+    print(f"device-resident dataset: {dd.nbytes / 1e9:.2f} GB on "
+          f"{jax.devices()[0].platform}")
+    return dd
 
 
 def _read_curve(path):

@@ -76,7 +76,7 @@ def _wire_cast_enabled(model) -> bool:
 
 
 def _run_eval(eval_step, params, batch_stats, images, masks, indices, batch_size,
-              lim, wire_cast=False):
+              lim, wire_cast=False, device_data=None):
     """Shared eval loop: (mean loss, weighted Jaccard, first-batch outputs)."""
     if len(indices) == 0:
         raise ValueError(
@@ -100,8 +100,12 @@ def _run_eval(eval_step, params, batch_stats, images, masks, indices, batch_size
         if first_outputs is None:
             first_outputs = np.asarray(m["outputs"])
 
-    for batch in make_batches(images, masks, indices, batch_size):
-        if wire_cast:
+    if device_data is not None:
+        source = device_data.batches(indices, batch_size)
+    else:
+        source = make_batches(images, masks, indices, batch_size)
+    for batch in source:
+        if wire_cast and device_data is None:
             from corrifnet_tpu.data.dataset import wire_cast_batch
 
             batch = wire_cast_batch(batch)
@@ -125,6 +129,7 @@ def validate(
     i: int = 0,
     val_from_checkpoint: bool = True,
     wire_cast: bool = False,
+    device_data=None,
 ):
     """F4_TRAIN.py:90-208. Optionally restores the epoch checkpoint from
     disk (the reference's accidental end-to-end save/load test, :180)."""
@@ -135,7 +140,7 @@ def validate(
         )
     val_loss, val_jac, _ = _run_eval(
         eval_step, params, batch_stats, images, masks, vlind, batch_size, lim,
-        wire_cast=wire_cast,
+        wire_cast=wire_cast, device_data=device_data,
     )
     if logs is not None:
         logs.val.write(str(val_loss) + "\n")
@@ -191,6 +196,7 @@ def train_model(
     chain_steps: int = 1,
     auto_layout: bool = False,  # opt-in since round 4 (see config.py)
     deadline: Optional[float] = None,
+    device_data=None,
 ):
     """F4_TRAIN.py:39-86 equivalent. Returns the final TrainState.
 
@@ -327,11 +333,17 @@ def train_model(
             drain()  # previous chunk's metrics, while this one executes
             inflight = (ms, k)
 
+        if device_data is not None and mesh is None:
+            # device-RESIDENT data: batches gather on-chip, nothing rides
+            # the wire (data/dataset.py DeviceDataset)
+            source = device_data.batches(trind, batch_size)
+        else:
+            source = device_prefetch(
+                make_batches(images, masks, trind, batch_size),
+                sharding=batch_sh, wire_cast=wire_cast,
+            )
         pending = []
-        for batch in device_prefetch(
-            make_batches(images, masks, trind, batch_size), sharding=batch_sh,
-            wire_cast=wire_cast,
-        ):
+        for batch in source:
             if multi_step is None:
                 run_chunk([batch])
                 continue
@@ -361,6 +373,7 @@ def train_model(
             eval_step, state, images, masks, vlind, batch_size, lim, logs,
             ckpt if checkpoint_every_epoch else None, i, val_from_checkpoint,
             wire_cast=wire_cast,
+            device_data=device_data if mesh is None else None,
         )
         history["val_loss"].append(val_loss)
         history["val_jac"].append(val_jac)
@@ -397,6 +410,7 @@ def test_model(
     logs: Optional[RunLogs],
     ckpt: Optional[Checkpointer],
     i: int = 0,
+    device_data=None,
 ):
     """F7_TEST2.py:38-184 equivalent: restore Finaliremmodel{i}, evaluate,
     write testFile/testaccFile + FPS, return first-batch outputs."""
@@ -409,7 +423,7 @@ def test_model(
     start = time.time()
     test_loss, test_jac, first_outputs = _run_eval(
         eval_step, params, batch_stats, images, masks, tsind, batch_size, lim,
-        wire_cast=_wire_cast_enabled(model),
+        wire_cast=_wire_cast_enabled(model), device_data=device_data,
     )
     elapsed = time.time() - start
     fps = len(tsind) / elapsed if elapsed > 0 else 0.0

@@ -422,3 +422,65 @@ def test_wire_cast_training_is_bit_identical(tmp_path, monkeypatch):
     assert h_on == h_off
     for a, b in zip(jax.tree.leaves(s_on.params), jax.tree.leaves(s_off.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_dataset_batches_match_host_batcher():
+    """DeviceDataset's on-chip gather must produce the host batcher's exact
+    padded batches (incl. zeroed padding rows) in both dtypes paths."""
+    from corrifnet_tpu.data.dataset import (
+        Batch, DeviceDataset, batch_iterator, wire_cast_batch,
+    )
+
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(7, 3, 3, 8, 8)).astype(np.float32)
+    masks = (rng.random((7, 3, 1, 8, 8)) > 0.5).astype(np.float32)
+    indices = np.array([3, 0, 6, 2, 5])  # 5 samples, batch 2 -> padded tail
+
+    for wire in (False, True):
+        dd = DeviceDataset(images, masks, wire_cast=wire)
+        got = list(dd.batches(indices, 2))
+        want = list(batch_iterator(images, masks, indices, 2))
+        if wire:
+            want = [wire_cast_batch(b) for b in want]
+        assert len(got) == len(want) == 3
+        for g, w in zip(got, want):
+            assert np.asarray(g.images).dtype == w.images.dtype
+            assert np.asarray(g.masks).dtype == w.masks.dtype
+            np.testing.assert_array_equal(np.asarray(g.images), w.images)
+            np.testing.assert_array_equal(np.asarray(g.masks), w.masks)
+            np.testing.assert_array_equal(g.valid, w.valid)
+
+
+def test_device_dataset_run_experiment_matches_streaming(tmp_path, monkeypatch):
+    """The full driver with CORRIFNET_DEVICE_DATA=1 must reproduce the
+    streaming run's metrics exactly (bf16 model: same casts either way)."""
+    from corrifnet_tpu.config import ExperimentConfig
+    from corrifnet_tpu.data import write_permutation
+    from corrifnet_tpu.models import registry
+    from corrifnet_tpu.run.main import run_experiment
+    import corrifnet_tpu.data.crossval as cv
+
+    registry._REGISTRY["TinySegBf16"] = registry.ModelSpec(
+        "TinySegBf16", TinySegBf16, "5d", "test stand-in", True
+    )
+    write_permutation(24, tmp_path, seed=0)
+    old = cv._SPLITS_DIR
+    cv._SPLITS_DIR = tmp_path
+    try:
+        def run(mode, root):
+            monkeypatch.setenv("CORRIFNET_DEVICE_DATA", mode)
+            cfg = ExperimentConfig(
+                train_set_size=24, fno=1, fsiz=4, mini_batch_size=4,
+                n_epochs=2, learn_rate=1e-3, modeltype="TinySegBf16",
+                lim=224, synthetic_seed=0,
+            )
+            return run_experiment(cfg, run_root=tmp_path / root, index=0)
+
+        res_d = run("1", "dev")
+        res_s = run("0", "stream")
+        assert res_d["test_jaccard"] == res_s["test_jaccard"]
+        assert res_d["test_loss"] == res_s["test_loss"]
+        assert res_d["history"] == res_s["history"]
+    finally:
+        cv._SPLITS_DIR = old
+        registry._REGISTRY.pop("TinySegBf16", None)
