@@ -336,31 +336,39 @@ def _measure_full_depth(batch, deadline):
 
     if os.environ.get("BENCH_FULL_ROW", "1") == "0":
         return 0.0
-    left = deadline - time.monotonic()
-    if left < 120:
-        print("# bench deadline reached before full-depth row",
-              file=sys.stderr)
-        return 0.0
-    env = dict(os.environ)
-    env["BENCH_DEPTH"] = "full"
-    env["BENCH_ONECONF"] = f"{batch},0,all,0,0"
-    try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            capture_output=True, text=True,
-            timeout=min(1500, left), env=env,
-        )
-        for line in out.stdout.splitlines():
-            if line.startswith("ONECONF_RESULT "):
-                v = float(line.split()[1])
-                print(f"# depth:full: {v:.2f}", file=sys.stderr)
-                return v
-        print(f"# depth:full failed (rc={out.returncode})", file=sys.stderr)
-        for ln in out.stderr.splitlines()[-15:]:
-            print(f"#   full| {ln}", file=sys.stderr)
-    except subprocess.TimeoutExpired:
-        print("# depth:full timed out", file=sys.stderr)
-    return 0.0
+    best = 0.0
+    # B=16 engages more sublanes in the level-1 8..16-channel decoder convs
+    # (the full-depth hot spot); measured AFTER B=8 so a compile blow-up on
+    # the bigger program can only add, never cost, a number.
+    for b in dict.fromkeys([batch, 16]):
+        left = deadline - time.monotonic()
+        if left < 120:
+            print("# bench deadline reached before full-depth row",
+                  file=sys.stderr)
+            return best
+        env = dict(os.environ)
+        env["BENCH_DEPTH"] = "full"
+        env["BENCH_ONECONF"] = f"{b},0,all,0,0"
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True, text=True,
+                timeout=min(1500, left), env=env,
+            )
+            v = 0.0
+            for line in out.stdout.splitlines():
+                if line.startswith("ONECONF_RESULT "):
+                    v = float(line.split()[1])
+                    print(f"# depth:full b={b}: {v:.2f}", file=sys.stderr)
+            if not v:
+                print(f"# depth:full b={b} failed (rc={out.returncode})",
+                      file=sys.stderr)
+                for ln in out.stderr.splitlines()[-15:]:
+                    print(f"#   full| {ln}", file=sys.stderr)
+            best = max(best, v)
+        except subprocess.TimeoutExpired:
+            print(f"# depth:full b={b} timed out", file=sys.stderr)
+    return best
 
 
 if __name__ == "__main__":
