@@ -16,6 +16,7 @@ exactly, including the final partial batch.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Iterator
 
 import numpy as np
@@ -179,10 +180,17 @@ class DeviceDataset:
 
     @staticmethod
     def fits(images: np.ndarray, masks: np.ndarray, wire_cast: bool,
-             budget_bytes: float = 9.6e9) -> bool:
+             budget_bytes: float = None) -> bool:
         """Conservative placement check: the resident set must leave room
-        for params/optimizer/activations. 9.6e9 = 60% of a v5e's 16 GB
-        (the tunnel backend does not report memory_stats)."""
+        for params/optimizer/ACTIVATIONS — and the full-depth MMVit4
+        decoder's backward holds f32 gradients of (B,128,128,128,C)
+        volumes, a multi-GB working set (measured: 6.3 GB resident +
+        B=4 full-depth train step OOMs a 16 GB v5e; the tunnel backend
+        reports no memory_stats to do better). Default budget 4 GB;
+        raise via CORRIFNET_DEVICE_DATA_BUDGET_GB for lean models."""
+        if budget_bytes is None:
+            budget_bytes = 1e9 * float(
+                os.environ.get("CORRIFNET_DEVICE_DATA_BUDGET_GB", "4"))
         n = images.nbytes + masks.nbytes
         if wire_cast:
             n = images.nbytes // 2 + masks.nbytes // 4
