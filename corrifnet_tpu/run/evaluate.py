@@ -53,6 +53,7 @@ def per_image_metrics(model, params, batch_stats, images, masks, indices,
 
     @jax.jit
     def step(im, ma):
+        ma = ma.astype(jnp.float32)  # uint8 over the wire (wire_cast_batch)
         out = model.apply(
             {"params": params, "batch_stats": batch_stats}, im, False
         ).astype(jnp.float32)
@@ -61,7 +62,15 @@ def per_image_metrics(model, params, batch_stats, images, masks, indices,
         return jax.vmap(jaccard_f1_pair)(m0, o0)
 
     jacks, f1s = [], []
+    from corrifnet_tpu.data.dataset import wire_cast_batch
+    from corrifnet_tpu.train.loop import _wire_cast_enabled
+
+    wire = _wire_cast_enabled(model)
     for batch in make_batches(images, masks, indices, batch_size):
+        if wire:
+            # the transfer dominates re-evaluation wall through a tunneled
+            # TPU attach (~30-36 MB/s effective); exact for bf16 models
+            batch = wire_cast_batch(batch)
         im, ma = batch.images, batch.masks
         if mesh is not None:
             im, ma = put_batch(mesh, im, ma)
