@@ -128,3 +128,17 @@ def test_json_config(tmp_path):
     p.write_text(json.dumps({"modeltype": "UNetV2", "n_epochs": 3}))
     cfg = load_config(p)
     assert cfg.modeltype == "UNetV2" and cfg.n_epochs == 3
+
+
+def test_short_text_config_raises_clean_valueerror(tmp_path):
+    p = tmp_path / "model0.txt"
+    p.write_text("5985\n2\n5\n")
+    with pytest.raises(ValueError, match="expected 18 config lines, got 3"):
+        load_text_config(p)
+
+
+def test_unknown_modeltype_lists_known_ids():
+    from corrifnet_tpu.models import get_spec
+
+    with pytest.raises(KeyError, match="unknown modeltype 'NoSuchNet'.*MMVit4"):
+        get_spec("NoSuchNet")
