@@ -61,6 +61,9 @@ class ExperimentConfig:
     remat_mode: str = "all"  # MMVit4 encoder remat: 'all' | 'mid' | 'early'
                              # | 'none' | 'mid1' (stage-1-scoped 'mid';
                              # models/resnet3d.py, models/mmvit4.py)
+    decoder_remat: bool = False  # MMVit4: rematerialize decoder conv blocks
+                             # in the backward — bit-identical; shrinks the
+                             # full-depth multi-GB bwd working set
     scan_unroll: int = 1     # MMVit4 encoder tail-scan unroll; 0 = full
                              # unroll (smaller device time, bigger program)
     auto_layout: bool = False  # XLA-chosen train-state layouts. OPT-IN:

@@ -67,6 +67,13 @@ class DecoderFuse(fnn.Module):
     # convs (nn/depthfuse.py) — exact (f32 reassociation only), never
     # materializes the depth-resized volumes. Off = the naive
     # resize-then-conv path (kept for A/B and as the oracle in tests).
+    remat_convs: bool = False  # rematerialize every decoder conv block in
+    # the backward: each GeneralConv3d's internals (pre-act conv output,
+    # ReLU, IN temporaries, depth-fuse expansions — 2-3 extra copies of
+    # every (B,D,H,W,C) buffer at full depth) are recomputed instead of
+    # stored. Bit-identical fwd/grads (fnn.remat is transparent — tested);
+    # trades decoder-bwd FLOPs for the multi-GB full-depth working set
+    # that blocks device-resident data / larger batches (NOTES round 4).
     dtype: Dtype = None
 
     @fnn.compact
@@ -79,6 +86,13 @@ class DecoderFuse(fnn.Module):
         fuse = self.fuse_depth and not pruned
         dt = self.dtype
 
+        # static_argnums: 0=module, 1=x, 2=train, 3=depth_fuse (call sites
+        # below pass train/depth_fuse positionally for this)
+        conv_cls = (
+            fnn.remat(GeneralConv3d, static_argnums=(2, 3))
+            if self.remat_convs else GeneralConv3d
+        )
+
         def gconv(feat, k, pad, name):
             # replicate padding per the reference decoder convs
             # (mmvit4.py:225-236); pruned mode pads depth at the top edge only.
@@ -86,10 +100,14 @@ class DecoderFuse(fnn.Module):
                 padding = ((1, 0), (1, 1), (1, 1))
             else:
                 padding = pad
-            return GeneralConv3d(
+            mod = conv_cls(
                 feat, k, 1, padding, pad_mode="replicate",
                 use_pallas_epilogue=self.use_pallas_epilogue, dtype=dt, name=name
             )
+            # normalize to 3 positional args: the rematted class declares
+            # static_argnums for train AND depth_fuse, so both must always
+            # be present positionally
+            return lambda x, train, depth_fuse=None: mod(x, train, depth_fuse)
 
         def up2_conv(x, src_d, dst_prefix, hw, feat, name):
             """conv(name)(up2(x)) — trilinear x2 then 3^3 conv. In fused
@@ -105,9 +123,7 @@ class DecoderFuse(fnn.Module):
                 x = resize_linear(
                     x, (src_d, *hw), align_corners=True, compute_dtype=x.dtype
                 )
-                return gconv(feat, 3, 1, name)(
-                    x, train, depth_fuse=("linear", src_d * 2)
-                )
+                return gconv(feat, 3, 1, name)(x, train, ("linear", src_d * 2))
             x = resize_linear(x, (src_d * 2, *hw), align_corners=True)
             return gconv(feat, 3, 1, name)(x, train)
 
@@ -123,7 +139,7 @@ class DecoderFuse(fnn.Module):
             if fuse:
                 skip = resize_nearest(skip, (skip.shape[1], *hw))
                 return gconv(feat, 3, 1, name)(
-                    (skip, run), train, depth_fuse=("nearest", dst_d)
+                    (skip, run), train, ("nearest", dst_d)
                 )
             skip = resize_nearest(skip, (dst_d, *hw))
             x = jnp.concatenate([skip, run], axis=-1)

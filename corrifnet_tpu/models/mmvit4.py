@@ -101,6 +101,9 @@ class MMVit4(fnn.Module):
     pallas_fused_blocks: bool = False  # bottleneck convs via ops/fusedconv.py
     transformer_dropout: float = 0.1  # reference rate (mmvit4.py Transformer);
     # a knob so train-mode parity tests can run deterministically
+    decoder_remat: bool = False  # rematerialize decoder conv blocks in bwd
+    # (DecoderFuse.remat_convs): bit-identical, trades decoder-bwd FLOPs
+    # for the full-depth multi-GB working set (NOTES round 4)
 
     @fnn.compact
     def __call__(self, x, train: bool = False):
@@ -230,5 +233,6 @@ class MMVit4(fnn.Module):
         return DecoderFuse(
             num_cls=self.num_cls, depth_mode=self.depth_mode,
             use_pallas_epilogue=self.use_pallas, dtype=self.dtype,
+            remat_convs=self.decoder_remat,
             name="decoder",
         )(fused_x1, fused_x2, fused_x3, fused_x4, x6_inter, train)

@@ -58,6 +58,7 @@ def _build_model(cfg: ExperimentConfig):
             kwargs["fuse_expand_bn"] = cfg.fuse_expand_bn
             kwargs["pallas_fused_blocks"] = cfg.pallas_fused_blocks
             kwargs["remat_mode"] = cfg.remat_mode
+            kwargs["decoder_remat"] = cfg.decoder_remat
             kwargs["scan_unroll"] = cfg.scan_unroll
     else:
         kwargs = dict(dtype=cfg.jax_dtype)

@@ -57,3 +57,84 @@ def test_pruned_decoder_shapes_small():
     v = dec.init(jax.random.PRNGKey(0), *args, False)
     out = dec.apply(v, *args, False)
     assert out.shape == (b, 3, 1, 224, 224)
+
+
+def test_remat_convs_is_transparent_small():
+    """fnn.remat(GeneralConv3d) (DecoderFuse.remat_convs) must be invisible:
+    same param tree, bit-equal forward and gradients (small-shape probe of
+    the exact wrapping used in the decoder, incl. a depth-fuse call)."""
+    from flax import linen as fnn
+
+    from corrifnet_tpu.nn.conv import GeneralConv3d
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 4, 8, 8, 6)).astype(np.float32)
+    )
+
+    class Chain(fnn.Module):
+        remat: bool = False
+
+        @fnn.compact
+        def __call__(self, x, train=True):
+            cls = (
+                fnn.remat(GeneralConv3d, static_argnums=(2, 3))
+                if self.remat else GeneralConv3d
+            )
+            x = cls(8, 3, 1, 1, pad_mode="replicate", name="c1")(x, train, None)
+            x = cls(8, 3, 1, 1, pad_mode="replicate", name="c2")(
+                x, train, ("linear", 8)
+            )
+            return x
+
+    p0 = Chain(False).init(jax.random.PRNGKey(0), x)
+    p1 = Chain(True).init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    np.testing.assert_array_equal(
+        np.asarray(Chain(False).apply(p0, x)), np.asarray(Chain(True).apply(p1, x))
+    )
+    g0 = jax.jit(jax.grad(lambda p: Chain(False).apply(p, x).sum()))(p0)
+    g1 = jax.jit(jax.grad(lambda p: Chain(True).apply(p, x).sum()))(p1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_remat_convs_param_tree_stable_full_scale():
+    """remat_convs must not move a single decoder param path (checkpoint
+    compatibility) — checked shape-level via eval_shape (no compute)."""
+    rng = np.random.default_rng(0)
+    b = 1
+    args = [
+        jnp.asarray(rng.normal(0, 1, s).astype(np.float32))
+        for s in [(b, 3, 56, 56, 24), (b, 3, 56, 56, 48), (b, 3, 28, 28, 96),
+                  (b, 3, 14, 14, 192), (b, 8, 8, 8, 192)]
+    ]
+    key = jax.random.PRNGKey(0)
+    base = jax.eval_shape(
+        DecoderFuse(depth_mode="full").init, key, *args, False)
+    remat = jax.eval_shape(
+        DecoderFuse(depth_mode="full", remat_convs=True).init, key, *args, False)
+    assert jax.tree_util.tree_structure(base) == jax.tree_util.tree_structure(remat)
+    assert [(l.shape, l.dtype) for l in jax.tree.leaves(base)] == [
+        (l.shape, l.dtype) for l in jax.tree.leaves(remat)
+    ]
+
+
+@pytest.mark.skipif(
+    os.environ.get("CORRIFNET_SLOW_TESTS", "0") != "1",
+    reason="full-depth decoder grads on 1 CPU core are slow",
+)
+def test_remat_convs_grads_bit_equal_full_scale():
+    rng = np.random.default_rng(0)
+    b = 1
+    args = [
+        jnp.asarray(rng.normal(0, 1, s).astype(np.float32))
+        for s in [(b, 3, 56, 56, 24), (b, 3, 56, 56, 48), (b, 3, 28, 28, 96),
+                  (b, 3, 14, 14, 192), (b, 8, 8, 8, 192)]
+    ]
+    base = DecoderFuse(depth_mode="full")
+    remat = DecoderFuse(depth_mode="full", remat_convs=True)
+    v = base.init(jax.random.PRNGKey(0), *args, False)
+    g0 = jax.grad(lambda p: base.apply(p, *args, False).sum())(v)
+    g1 = jax.grad(lambda p: remat.apply(p, *args, False).sum())(v)
+    for a, b_ in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
