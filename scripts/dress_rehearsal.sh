@@ -49,11 +49,16 @@ ls -la "$ROOT/pack.npz"
 python - "$RUN" "$ROOT" "$N" "$EPOCHS" "$MODE" <<'EOF'
 import json, sys
 run, root, n, epochs, mode = sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4]), sys.argv[5]
+import os
 cfg = dict(train_set_size=n, fno=2, fsiz=5, mini_batch_size=4,
            n_epochs=epochs, learn_rate=1e-4, optimizer_type="Adam",
            step_size=5, gamma=0.9, modeltype="MMVit4",
            depth_mode=mode, data_pack=f"{root}/pack.npz", seed=0,
-           extended_checkpoints=True)
+           extended_checkpoints=True,
+           # bit-identical memory lever (tests/test_decoder_modes.py):
+           # lets the device-resident dataset coexist with the full-depth
+           # backward (REHEARSAL_DREMAT=1 + CORRIFNET_DEVICE_DATA=1)
+           decoder_remat=os.environ.get("REHEARSAL_DREMAT", "0") == "1")
 json.dump(cfg, open(f"{run}/cfg.json", "w"))
 from corrifnet_tpu.data.crossval import write_permutation
 write_permutation(n, run, seed=0)
