@@ -157,10 +157,20 @@ class DeviceDataset:
     """
 
     def __init__(self, images: np.ndarray, masks: np.ndarray,
-                 wire_cast: bool = False):
+                 wire_cast: bool = False, indices=None):
+        """``indices``: restrict residency to a SUBSET of samples (e.g. the
+        validation fold, re-streamed every epoch by the reference protocol
+        while train batches change — F4_TRAIN.py:96-180). ``batches()``
+        then only accepts indices inside the subset (see ``covers``);
+        global indices are remapped host-side to resident rows."""
         import jax
         import jax.numpy as jnp
 
+        self._local = None
+        if indices is not None:
+            indices = np.asarray(indices)
+            images, masks = images[indices], masks[indices]
+            self._local = {int(g): i for i, g in enumerate(indices)}
         if wire_cast:
             b = wire_cast_batch(
                 Batch(images, masks, np.ones((1,), np.float32)))
@@ -188,13 +198,26 @@ class DeviceDataset:
         B=4 full-depth train step OOMs a 16 GB v5e; the tunnel backend
         reports no memory_stats to do better). Default budget 4 GB;
         raise via CORRIFNET_DEVICE_DATA_BUDGET_GB for lean models."""
+        return DeviceDataset.fits_bytes(
+            images.nbytes, masks.nbytes, wire_cast, budget_bytes)
+
+    @staticmethod
+    def fits_bytes(image_bytes: int, mask_bytes: int, wire_cast: bool,
+                   budget_bytes: float = None) -> bool:
         if budget_bytes is None:
             budget_bytes = 1e9 * float(
                 os.environ.get("CORRIFNET_DEVICE_DATA_BUDGET_GB", "4"))
-        n = images.nbytes + masks.nbytes
+        n = image_bytes + mask_bytes
         if wire_cast:
-            n = images.nbytes // 2 + masks.nbytes // 4
+            n = image_bytes // 2 + mask_bytes // 4
         return n <= budget_bytes
+
+    def covers(self, indices) -> bool:
+        """Whether every global index is resident (always True for a
+        full-set dataset)."""
+        if self._local is None:
+            return True
+        return all(int(i) in self._local for i in np.asarray(indices))
 
     def batches(self, indices, batch_size: int) -> Iterator[Batch]:
         """Fixed-shape padded device batches over ``indices`` in order —
@@ -202,6 +225,9 @@ class DeviceDataset:
         import jax.numpy as jnp
 
         indices = np.asarray(indices)
+        if self._local is not None:
+            indices = np.asarray(
+                [self._local[int(i)] for i in indices], dtype=np.int64)
         n = len(indices)
         for start in range(0, n, batch_size):
             idx = indices[start : start + batch_size]

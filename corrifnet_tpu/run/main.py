@@ -201,7 +201,7 @@ def run_experiment(cfg: ExperimentConfig, run_root=".", index: int = 0,
         mesh = make_mesh(tuple(cfg.mesh_shape))
         print("mesh:", dict(zip(mesh.axis_names, mesh.devices.shape)))
 
-    device_data = _maybe_device_dataset(model, images, masks, mesh)
+    device_data = _maybe_device_dataset(model, images, masks, mesh, vlind)
 
     state, history = train_model(
         model, state, optimizer,
@@ -261,15 +261,22 @@ def run_experiment(cfg: ExperimentConfig, run_root=".", index: int = 0,
     }
 
 
-def _maybe_device_dataset(model, images, masks, mesh):
-    """Place the whole dataset in device memory when it fits (see
-    ``data.dataset.DeviceDataset`` — through a tunneled TPU attach the
-    per-epoch host->device stream is the wall-clock bottleneck).
+def _maybe_device_dataset(model, images, masks, mesh, vlind=None):
+    """Place the dataset (or just the per-epoch-re-streamed VAL fold) in
+    device memory when it fits (``data.dataset.DeviceDataset`` — through
+    a tunneled TPU attach the host->device stream is the wall-clock
+    bottleneck).
 
     Auto: on for accelerator backends, single-device only (under a mesh
     the sharding layer owns batch placement), sized against a
-    conservative HBM budget. ``CORRIFNET_DEVICE_DATA``: ``0`` kills it,
-    ``1`` forces it (e.g. to exercise the path on CPU), unset = auto."""
+    conservative HBM budget (CORRIFNET_DEVICE_DATA_BUDGET_GB; the
+    measured full-depth MMVit4 step peaks at 6.1 GB at B=4 of the ~12
+    usable — NOTES round-4 memory ladder). When the full set is too big
+    but the val fold fits, only the val fold goes resident — it is
+    re-evaluated every epoch (F4_TRAIN.py:96-180) so it pays the wire
+    cost n_epochs times. ``CORRIFNET_DEVICE_DATA``: ``0`` kills it,
+    ``1`` forces the full set (e.g. to exercise the path on CPU),
+    unset = auto."""
     from corrifnet_tpu.data.dataset import DeviceDataset
     from corrifnet_tpu.train.loop import _wire_cast_enabled
 
@@ -277,12 +284,21 @@ def _maybe_device_dataset(model, images, masks, mesh):
     wire = _wire_cast_enabled(model)
     if mode == "0" or mesh is not None:
         return None
+    indices = None
     if mode != "1":
         on_accel = jax.default_backend() not in ("cpu",)
-        if not (on_accel and DeviceDataset.fits(images, masks, wire)):
+        if not on_accel:
             return None
-    dd = DeviceDataset(images, masks, wire_cast=wire)
-    print(f"device-resident dataset: {dd.nbytes / 1e9:.2f} GB on "
+        if not DeviceDataset.fits(images, masks, wire):
+            # byte math only — images[vlind] would copy GBs host-side
+            frac = 0 if len(images) == 0 else len(vlind or ()) / len(images)
+            if vlind is None or not DeviceDataset.fits_bytes(
+                    int(images.nbytes * frac), int(masks.nbytes * frac), wire):
+                return None
+            indices = vlind
+    dd = DeviceDataset(images, masks, wire_cast=wire, indices=indices)
+    what = "val-fold" if indices is not None else "dataset"
+    print(f"device-resident {what}: {dd.nbytes / 1e9:.2f} GB on "
           f"{jax.devices()[0].platform}")
     return dd
 

@@ -100,12 +100,14 @@ def _run_eval(eval_step, params, batch_stats, images, masks, indices, batch_size
         if first_outputs is None:
             first_outputs = np.asarray(m["outputs"])
 
-    if device_data is not None:
+    if device_data is not None and device_data.covers(indices):
         source = device_data.batches(indices, batch_size)
+        device_data_used = True
     else:
         source = make_batches(images, masks, indices, batch_size)
+        device_data_used = False
     for batch in source:
-        if wire_cast and device_data is None:
+        if wire_cast and not device_data_used:
             from corrifnet_tpu.data.dataset import wire_cast_batch
 
             batch = wire_cast_batch(batch)
@@ -333,9 +335,11 @@ def train_model(
             drain()  # previous chunk's metrics, while this one executes
             inflight = (ms, k)
 
-        if device_data is not None and mesh is None:
+        if (device_data is not None and mesh is None
+                and device_data.covers(trind)):
             # device-RESIDENT data: batches gather on-chip, nothing rides
-            # the wire (data/dataset.py DeviceDataset)
+            # the wire (data/dataset.py DeviceDataset). A subset-resident
+            # dataset (e.g. val-fold-only) streams here and serves eval.
             source = device_data.batches(trind, batch_size)
         else:
             source = device_prefetch(

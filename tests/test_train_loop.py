@@ -484,3 +484,54 @@ def test_device_dataset_run_experiment_matches_streaming(tmp_path, monkeypatch):
     finally:
         cv._SPLITS_DIR = old
         registry._REGISTRY.pop("TinySegBf16", None)
+
+
+def test_device_dataset_subset_residency():
+    """A val-fold-only DeviceDataset serves exactly its subset (remapped
+    global indices, host-batcher-identical batches) and reports coverage
+    honestly so train/test fall back to streaming."""
+    from corrifnet_tpu.data.dataset import DeviceDataset, batch_iterator
+
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(10, 3, 3, 8, 8)).astype(np.float32)
+    masks = (rng.random((10, 3, 1, 8, 8)) > 0.5).astype(np.float32)
+    vlind = np.array([7, 2, 9])
+    dd = DeviceDataset(images, masks, wire_cast=False, indices=vlind)
+    assert dd.covers(vlind) and dd.covers([2, 7])
+    assert not dd.covers([0]) and not dd.covers([7, 3])
+    got = list(dd.batches(vlind, 2))
+    want = list(batch_iterator(images, masks, vlind, 2))
+    assert len(got) == len(want) == 2
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g.images), w.images)
+        np.testing.assert_array_equal(np.asarray(g.masks), w.masks)
+        np.testing.assert_array_equal(g.valid, w.valid)
+
+
+def test_run_eval_streams_when_subset_not_covered():
+    """_run_eval with a subset dataset must stream for uncovered indices
+    (and produce the same metrics either way)."""
+    from corrifnet_tpu.data.dataset import DeviceDataset
+    from corrifnet_tpu.train.loop import _run_eval
+    from corrifnet_tpu.train.state import make_eval_step
+
+    lim = 16
+    data = synthetic_dstl(8, lim=lim, seed=0)
+    model = TinySeg()
+    state = init_state(
+        model, jax.random.PRNGKey(0), jnp.asarray(data.images[:2]),
+        make_optimizer("Adam"),
+    )
+    eval_step = make_eval_step(model)
+    vlind, tsind = np.array([5, 6]), np.array([0, 1, 2])
+    dd = DeviceDataset(data.images, data.masks, indices=vlind)
+    base = _run_eval(eval_step, state.params, state.batch_stats, data.images,
+                     data.masks, tsind, 2, lim)
+    sub = _run_eval(eval_step, state.params, state.batch_stats, data.images,
+                    data.masks, tsind, 2, lim, device_data=dd)
+    assert base[0] == sub[0] and base[1] == sub[1]
+    cov = _run_eval(eval_step, state.params, state.batch_stats, data.images,
+                    data.masks, vlind, 2, lim, device_data=dd)
+    plain = _run_eval(eval_step, state.params, state.batch_stats, data.images,
+                      data.masks, vlind, 2, lim)
+    assert cov[0] == plain[0] and cov[1] == plain[1]
