@@ -337,16 +337,12 @@ def _measure_full_depth(batch, deadline):
 
     if os.environ.get("BENCH_FULL_ROW", "1") == "0":
         return 0.0
-    _last_failed[0] = False
     best = 0.0
-    # B=16 engages more sublanes in the level-1 8..16-channel decoder convs
-    # (the full-depth hot spot); measured AFTER B=8 so a compile blow-up on
-    # the bigger program can only add, never cost, a number. A failed batch
-    # (typically RESOURCE_EXHAUSTED — the full-depth bwd working set) is
-    # retried once with decoder remat (bit-identical, stores less).
-    for b, dremat in dict.fromkeys([(batch, "0"), (16, "0"), (16, "1")]):
-        if b == 16 and dremat == "1" and best and not _last_failed[0]:
-            continue  # plain B=16 worked; the remat retry is moot
+    # B=8 only: the compile-time buffer assignment (NOTES round-4 memory
+    # ladder, scripts/memprofile_step.py) puts B=16 full depth at 16.6 GB
+    # peak (15.7 with decoder_remat) vs ~12 GB usable HBM — probing it
+    # would spend driver-bench budget on a certain RESOURCE_EXHAUSTED.
+    for b in dict.fromkeys([batch]):
         left = deadline - time.monotonic()
         if left < 120:
             print("# bench deadline reached before full-depth row",
@@ -354,9 +350,7 @@ def _measure_full_depth(batch, deadline):
             return best
         env = dict(os.environ)
         env["BENCH_DEPTH"] = "full"
-        env["BENCH_DREMAT"] = dremat
         env["BENCH_ONECONF"] = f"{b},0,all,0,0"
-        tag = f"b={b}" + (" dremat" if dremat == "1" else "")
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -367,21 +361,16 @@ def _measure_full_depth(batch, deadline):
             for line in out.stdout.splitlines():
                 if line.startswith("ONECONF_RESULT "):
                     v = float(line.split()[1])
-                    print(f"# depth:full {tag}: {v:.2f}", file=sys.stderr)
+                    print(f"# depth:full b={b}: {v:.2f}", file=sys.stderr)
             if not v:
-                print(f"# depth:full {tag} failed (rc={out.returncode})",
+                print(f"# depth:full b={b} failed (rc={out.returncode})",
                       file=sys.stderr)
                 for ln in out.stderr.splitlines()[-15:]:
                     print(f"#   full| {ln}", file=sys.stderr)
-            _last_failed[0] = not v
             best = max(best, v)
         except subprocess.TimeoutExpired:
-            print(f"# depth:full {tag} timed out", file=sys.stderr)
-            _last_failed[0] = True
+            print(f"# depth:full b={b} timed out", file=sys.stderr)
     return best
-
-
-_last_failed = [False]  # whether the previous full-depth probe produced no value
 
 
 if __name__ == "__main__":

@@ -119,21 +119,21 @@ def test_probe_levers_survives_failed_child(bench, monkeypatch):
 
 
 def test_measure_full_depth_sets_env_and_parses(bench, monkeypatch):
-    """The full-depth extra row probes B=8 then B=16 children with
-    BENCH_DEPTH=full, keeps the best value, and never competes with the
-    pruned headline."""
+    """The full-depth extra row runs one B=8 child with BENCH_DEPTH=full
+    (B=16 is excluded by the measured memory ladder) and returns its
+    parsed value; it never competes with the pruned headline."""
     import subprocess
 
     seen = []
 
     def fake_run(cmd, capture_output, text, timeout, env):
         seen.append((env.get("BENCH_DEPTH"), env.get("BENCH_ONECONF")))
-        return _Result(61.25 if env["BENCH_ONECONF"].startswith("8") else 70.5)
+        return _Result(61.25)
 
     monkeypatch.setattr(subprocess, "run", fake_run)
     monkeypatch.delenv("BENCH_FULL_ROW", raising=False)
-    assert bench._measure_full_depth(8, _deadline()) == 70.5
-    assert seen == [("full", "8,0,all,0,0"), ("full", "16,0,all,0,0")]
+    assert bench._measure_full_depth(8, _deadline()) == 61.25
+    assert seen == [("full", "8,0,all,0,0")]
 
 
 def test_measure_full_depth_disabled_and_failed(bench, monkeypatch):
