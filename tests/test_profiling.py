@@ -29,3 +29,16 @@ def test_trace_context(tmp_path):
         y = jnp.arange(16.0).sum()
         y.block_until_ready()
     # no exception = pass; trace dir creation is backend-dependent
+
+
+def test_profile_cli_memory_flag():
+    """--memory adds the train-step buffer-assignment peak (run/profile.py
+    train_step_memory — the only memory oracle on tunneled backends)."""
+    from corrifnet_tpu.run.profile import main
+
+    r = main(["ENet", "--memory", "--lim", "32", "--batch-size", "2"])
+    mem = r["train_step_memory"]
+    assert mem["peak_bytes"] > 0
+    assert mem["peak_bytes"] == (mem["argument_bytes"] + mem["output_bytes"]
+                                 + mem["temp_bytes"] - mem["alias_bytes"])
+    assert r["train_peak_str"].endswith("B")
