@@ -291,8 +291,9 @@ def _maybe_device_dataset(model, images, masks, mesh, vlind=None):
             return None
         if not DeviceDataset.fits(images, masks, wire):
             # byte math only — images[vlind] would copy GBs host-side
-            frac = 0 if len(images) == 0 else len(vlind or ()) / len(images)
-            if vlind is None or not DeviceDataset.fits_bytes(
+            n_val = 0 if vlind is None else len(vlind)
+            frac = n_val / len(images) if len(images) else 0.0
+            if not n_val or not DeviceDataset.fits_bytes(
                     int(images.nbytes * frac), int(masks.nbytes * frac), wire):
                 return None
             indices = vlind

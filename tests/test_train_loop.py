@@ -535,3 +535,35 @@ def test_run_eval_streams_when_subset_not_covered():
     plain = _run_eval(eval_step, state.params, state.batch_stats, data.images,
                       data.masks, vlind, 2, lim)
     assert cov[0] == plain[0] and cov[1] == plain[1]
+
+
+def test_maybe_device_dataset_val_fold_auto(monkeypatch):
+    """Auto path on an 'accelerator': full set over budget -> val-fold-only
+    residency; nothing fits -> None. (Regression: the fits math must use
+    numpy index arrays — `vlind or ()` crashed the TPU path, r4.)"""
+    import jax as _jax
+
+    from corrifnet_tpu.run.main import _maybe_device_dataset
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("CORRIFNET_DEVICE_DATA", raising=False)
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(10, 3, 3, 16, 16)).astype(np.float32)
+    masks = (rng.random((10, 3, 1, 16, 16)) > 0.5).astype(np.float32)
+    vlind = np.array([1, 4])
+    model = TinySegBf16()
+
+    # budget fits only ~2 samples' bytes -> val fold resident, not the set
+    per_sample = images[0].nbytes // 2 + masks[0].nbytes // 4  # wire-cast
+    monkeypatch.setenv(
+        "CORRIFNET_DEVICE_DATA_BUDGET_GB", str(3 * per_sample / 1e9))
+    dd = _maybe_device_dataset(model, images, masks, None, vlind)
+    assert dd is not None and not dd.covers([0]) and dd.covers(vlind)
+
+    monkeypatch.setenv(
+        "CORRIFNET_DEVICE_DATA_BUDGET_GB", str(per_sample / 1e9))
+    assert _maybe_device_dataset(model, images, masks, None, vlind) is None
+
+    monkeypatch.setenv("CORRIFNET_DEVICE_DATA_BUDGET_GB", "100")
+    full = _maybe_device_dataset(model, images, masks, None, vlind)
+    assert full is not None and full.covers(np.arange(10))
