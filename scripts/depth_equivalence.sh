@@ -45,7 +45,7 @@ EOF
     # a prior interrupted run with an extended checkpoint resumes in place
     # (-t: newest by mtime — dated dir NAMES don't sort chronologically)
     PRIOR=$(ls -dt "$D"/*model0 2>/dev/null | head -1)
-    if [ -n "$PRIOR" ] && [ -e "$PRIOR/state0" ]; then
+    if [ -n "$PRIOR" ] && ls "$PRIOR"/state0@* >/dev/null 2>&1; then
       (cd "$D" && timeout 4500 python -m corrifnet_tpu.run.main \
           --config cfg.json --run-root . --resume "$PRIOR" 2>&1 | tail -3) || true
     else

@@ -153,7 +153,7 @@ def test_deadline_stops_at_epoch_boundary_and_still_tests(tmp_path):
         # complete artifact set despite the early stop
         assert (run_dir / "testaccFile.txt").read_text().strip()
         assert (run_dir / "fpsfile.txt").exists()
-        assert (run_dir / "state0").exists()  # resumable
+        assert list(run_dir.glob("state0@*"))  # resumable (crash-safe name)
 
         # resumed (no deadline) -> completes the 3-epoch protocol
         res2 = run_experiment(_cfg(3), index=0, resume_dir=run_dir)

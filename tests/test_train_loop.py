@@ -567,3 +567,42 @@ def test_maybe_device_dataset_val_fold_auto(monkeypatch):
     monkeypatch.setenv("CORRIFNET_DEVICE_DATA_BUDGET_GB", "100")
     full = _maybe_device_dataset(model, images, masks, None, vlind)
     assert full is not None and full.covers(np.arange(10))
+
+
+def test_save_state_crash_safe_generations(setup, tmp_path):
+    """save_state writes {name}@{step} and retires older generations only
+    after the new one is durable — a kill mid-save can never destroy the
+    last good resume point (r4: a 26-epoch run died exactly that way)."""
+    data, model, optimizer, state, lim = setup
+    ck = Checkpointer(tmp_path)
+    p1 = ck.save_state("state0", state)
+    assert p1.name == "state0@0"
+    # a fake interrupted-save leftover + an advanced state
+    (tmp_path / "state0@0.orbax-checkpoint-tmp-123").mkdir()
+    state2 = state.replace(step=state.step + 5)
+    p2 = ck.save_state("state0", state2)
+    assert p2.name == "state0@5"
+    left = sorted(q.name for q in tmp_path.glob("state0*"))
+    assert left == ["state0@5"]  # old gen + tmp both retired
+    restored = ck.restore_state("state0", state)
+    assert int(restored.step) == 5
+    assert ck.exists("state0")
+    ck.close()
+
+
+def test_restore_state_accepts_legacy_plain_name(setup, tmp_path):
+    """Runs checkpointed before the @step scheme still resume."""
+    import orbax.checkpoint as ocp
+
+    data, model, optimizer, state, lim = setup
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            (tmp_path / "state0").resolve(),
+            {"params": state.params, "batch_stats": state.batch_stats,
+             "opt_state": state.opt_state, "step": state.step},
+        )
+    ck = Checkpointer(tmp_path)
+    assert ck.exists("state0")
+    restored = ck.restore_state("state0", state)
+    assert int(restored.step) == int(state.step)
+    ck.close()
