@@ -11,6 +11,7 @@ for f in trainFile trainaccFile trainepochFile valFile valaccFile \
   [ -f "$SRC/$f.txt" ] && cp "$SRC/$f.txt" "$DST/"
 done
 cp "$SRC/../cfg.json" "$DST/" 2>/dev/null || cp "$SRC/cfg.json" "$DST/" 2>/dev/null || true
-ls "$SRC"/2*_*.txt >/dev/null 2>&1 && cp "$SRC"/2*_*.txt "$DST/summary.txt"
+SUM=$(ls -t "$SRC"/2*_*.txt 2>/dev/null | head -1)
+[ -n "$SUM" ] && cp "$SUM" "$DST/summary.txt"
 echo "collected into $DST:"
 wc -l "$DST"/*.txt | tail -3

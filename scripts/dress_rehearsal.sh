@@ -73,7 +73,7 @@ T0=$SECONDS
 DL=()
 if [ -n "$DEADLINE" ]; then DL=(--train-deadline-s "$DEADLINE"); fi
 PREV=$(ls -dt ./*model0 2>/dev/null | head -1)
-if [ -n "$PREV" ] && ls "$PREV"/state0@* >/dev/null 2>&1; then
+if [ -n "$PREV" ] && { ls "$PREV"/state0@* >/dev/null 2>&1 || [ -d "$PREV/state0" ]; }; then
   python -m corrifnet_tpu.run.main --config cfg.json --run-root . \
       --resume "$PREV" "${DL[@]}" 2>&1 | tail -40
 else
