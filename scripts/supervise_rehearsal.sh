@@ -28,9 +28,17 @@ while true; do
   D=$(ls -dt "$RUN"/*model0 2>/dev/null | head -1)
   PID=$(ps aux | grep "corrifnet_tpu.run.main" | grep -v grep | awk '{print $2}' | head -1)
   if [ -z "$PID" ]; then
+    # complete = the full protocol ran: EPOCHS logged epochs + a test phase.
+    # (Checked regardless of STOP_TS — a run that finishes early must NOT be
+    # relaunched, or the resume loop burns the chip until the deadline.)
+    if [ -n "$D" ] && [ -s "$D/testaccFile.txt" ] \
+        && [ "$(wc -l < "$D/trainepochFile.txt" 2>/dev/null || echo 0)" -ge "$EPOCHS" ]; then
+      log "complete ($D: $(wc -l < "$D/trainepochFile.txt") epochs, testacc present)"
+      exit 0
+    fi
     if [ "$NOW" -ge "$STOP_TS" ] && [ -n "$D" ] && [ -s "$D/testaccFile.txt" ] \
         && [ "$(stat -c %Y "$D/testaccFile.txt")" -ge "$STOP_TS" ]; then
-      log "complete ($D)"
+      log "complete at deadline ($D)"
       exit 0
     fi
     BUDGET=$(( STOP_TS - NOW - 500 )); [ "$BUDGET" -lt 1 ] && BUDGET=1
