@@ -5,13 +5,17 @@ Prints ONE JSON line:
 
 Metric: 224x224 multispectral patches/sec through the full jitted train step
 (fwd + bwd + Adam update) in bf16 with the Pallas correlation kernel and the
-depth-pruned decoder. ``vs_baseline`` is measured against the BASELINE.json
-target of 2,000 patches/sec/chip (the reference itself publishes no
-throughput numbers — its fpsfile.txt slot is empty, F7_TEST2.py:135).
-An extra ``full_depth`` field reports the same measurement with
-``depth_mode='full'`` — the PARITY-DEFAULT decoder (see NOTES round-3
-depth-mode matrix); an ``mfu`` field reports value/750 against the
-single-chip speed-of-light (BASELINE.md).
+FULL-DEPTH decoder — the parity default (PARITY.md: the depth-mode
+equivalence matrix showed pruned-mode InstanceNorm stats train materially
+worse, so 'full' is the mode the model ships with and the mode this
+headline measures since round 5). ``vs_baseline`` is measured against the
+BASELINE.json target of 2,000 patches/sec/chip (the reference itself
+publishes no throughput numbers — its fpsfile.txt slot is empty,
+F7_TEST2.py:135). ``mfu`` divides the achieved FLOP rate (step FLOPs from
+XLA ``cost_analysis()`` on the compiled step, falling back to a measured
+constant) by the v5e peak ~197 bf16 TFLOP/s. A ``pruned`` field keeps the
+depth-pruned fast-inference mode as a cross-round continuity row (it was
+the headline through round 4).
 
 Measurement notes: chains of 10 REAL optimizer steps run inside one jitted
 ``lax.scan`` dispatch (``make_train_multi_step``), each chain synchronized
@@ -35,9 +39,11 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_TARGET = 2000.0  # patches/sec/chip (BASELINE.json)
-# Single-chip speed-of-light: ~2.1 TFLOP/step at B=8 (cost_analysis) over
-# v5e peak ~197 bf16 TFLOP/s -> ~11 ms/step -> ~750 patches/s (BASELINE.md).
-SPEED_OF_LIGHT = 750.0
+V5E_PEAK_FLOPS = 1.97e14  # bf16 peak, one v5e chip (BASELINE.md)
+# Fallback per-patch step FLOPs when the in-run cost_analysis compile is
+# skipped (deadline) or fails: measured via _step_flops on the compiled
+# full-depth / pruned train step (fwd+bwd+Adam, B=8).
+FALLBACK_FLOPS_PER_PATCH = {"full": 6.5e11, "pruned": 2.6e11}
 
 
 def measure_roundtrip_floor(iters=10):
@@ -69,7 +75,7 @@ def bench_train_step(batch_size=8, chain=10, iters=3, rt_floor=0.0,
 
     model = MMVit4(
         dtype=jnp.bfloat16, use_pallas=True,
-        depth_mode=os.environ.get("BENCH_DEPTH", "pruned"),
+        depth_mode=os.environ.get("BENCH_DEPTH", "full"),
         scan_unroll=scan_unroll,
         remat_mode=remat_mode,
         decoder_remat=os.environ.get("BENCH_DREMAT", "0") == "1",
@@ -155,36 +161,32 @@ def _run_oneconf():
 
 
 def _probe_levers(batch, best_base, deadline):
-    """Try the built-but-default-off perf levers in subprocesses, best
-    first; returns the best measured value. Each lever is a documented
-    algebraic rewrite (NOTES.md round-2 ladder): remat:mid stores post-relu
-    mid activations (no in-block recompute), fusebn folds BN into the
-    expanding pointwise convs, fusedblk runs every bottleneck conv as a
-    fused Pallas kernel with BN-apply/ReLU prologue + stats epilogue."""
+    """Try the built-but-default-off perf levers in subprocesses (on the
+    same FULL-depth mode the headline measures); returns the best measured
+    value. Hardware-REJECTED levers (fusedblk, fusebn — both measured
+    slower than XLA on v5e, NOTES round-3 lever table) are deliberately
+    absent: re-probing them burned the r4 budget that remat:mid never got.
+    """
     import subprocess
 
     if os.environ.get("BENCH_AUTOTUNE", "1") == "0":
         return best_base
-    # (label, remat, fusebn, fusedblk)
+    # (label, remat, extra_env)
     combos = [
-        ("layout:on", "all", "0", "0"),  # A/B the default-OFF auto layouts
-        ("fusedblk", "all", "0", "1"),
-        ("remat:mid", "mid", "0", "0"),
-        ("fusebn", "all", "1", "0"),
+        ("layout:on", "all", {"BENCH_AUTO_LAYOUT": "1"}),
+        ("remat:mid", "mid", {}),
+        ("dremat:on", "all", {"BENCH_DREMAT": "1"}),
     ]
-    results = {}
     best = best_base
-    while combos:
-        label, remat, fusebn, fusedblk = combos.pop(0)
+    for label, remat, extra in combos:
         left = deadline - time.monotonic()
         if left < 120:
             print(f"# bench deadline reached before lever {label}",
                   file=sys.stderr)
             break
         env = dict(os.environ)
-        env["BENCH_ONECONF"] = f"{batch},0,{remat},{fusebn},{fusedblk}"
-        if label == "layout:on":
-            env["BENCH_AUTO_LAYOUT"] = "1"
+        env["BENCH_ONECONF"] = f"{batch},0,{remat},0,0"
+        env.update(extra)
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -205,31 +207,57 @@ def _probe_levers(batch, best_base, deadline):
                       file=sys.stderr)
                 for ln in out.stderr.splitlines()[-15:]:
                     print(f"#   {label}| {ln}", file=sys.stderr)
-            results[label] = v
             best = max(best, v)
         except subprocess.TimeoutExpired:
             print(f"# lever {label} timed out", file=sys.stderr)
-        # combine the two independent winners if both beat base on their own
-        if (label == "remat:mid" and results.get("fusedblk", 0) > best_base
-                and results.get("remat:mid", 0) > best_base):
-            combos.insert(0, ("fusedblk+mid", "mid", "0", "1"))
     return best
 
 
-def _emit(value, full_value):
+def _step_flops_per_patch(batch_size, depth):
+    """Per-patch FLOPs of the single train step (fwd+bwd+Adam) from XLA's
+    own ``cost_analysis()`` on the lowered+compiled step — the honest
+    denominator for MFU (through round 4 the full-depth MFU wrongly
+    divided by the PRUNED program's speed-of-light, VERDICT r4)."""
+    from corrifnet_tpu.models.mmvit4 import MMVit4
+    from corrifnet_tpu.train import init_state, make_optimizer
+    from corrifnet_tpu.train.state import _train_step_fn
+
+    model = MMVit4(dtype=jnp.bfloat16, use_pallas=True, depth_mode=depth)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.normal(0, 1, (batch_size, 3, 3, 224, 224)).astype(np.float32))
+    masks = jnp.zeros((batch_size, 3, 1, 224, 224), jnp.float32)
+    valid = jnp.ones((batch_size,), jnp.float32)
+    optimizer = make_optimizer("Adam")
+    state = init_state(model, jax.random.PRNGKey(0), images, optimizer)
+    step = _train_step_fn(model, optimizer)
+    compiled = jax.jit(step).lower(
+        state, images, masks, valid, 1e-4, jax.random.PRNGKey(1)
+    ).compile()
+    flops = float(compiled.cost_analysis()["flops"])
+    return flops / batch_size
+
+
+def _emit(value, pruned_value, flops_per_patch):
     """Print the result JSON line NOW (the driver parses the LAST JSON
     line, so each improvement re-emits — a timeout mid-probe still leaves
-    a valid number on stdout; r3's bench died with zero output)."""
+    a valid number on stdout; r3's bench died with zero output).
+
+    ``value`` is the FULL-depth (parity-mode) throughput — the headline
+    since round 5; ``pruned`` is the fast-inference continuity row."""
     out = {
         "metric": "mmvit4_train_patches_per_sec",
         "value": round(value, 2),
         "unit": "224x224 patches/sec/chip",
+        "mode": "full_depth",
         "vs_baseline": round(value / BASELINE_TARGET, 4),
-        "mfu": round(value / SPEED_OF_LIGHT, 4),
+        "mfu": round(value * flops_per_patch / V5E_PEAK_FLOPS, 4),
     }
-    if full_value:
-        out["full_depth"] = round(full_value, 2)
-        out["full_depth_mfu"] = round(full_value / SPEED_OF_LIGHT, 4)
+    if pruned_value:
+        out["pruned"] = round(pruned_value, 2)
+        out["pruned_mfu"] = round(
+            pruned_value * FALLBACK_FLOPS_PER_PATCH["pruned"]
+            / V5E_PEAK_FLOPS, 4)
     print(json.dumps(out), flush=True)
 
 
@@ -258,9 +286,12 @@ def main():
     print(f"# round-trip floor: {rt_floor * 1e3:.1f} ms", file=sys.stderr)
 
     batch = int(os.environ.get("BENCH_BATCH", "0"))
-    # (batch, encoder scan_unroll): unroll=0 measured ~3% faster on device
-    # but is a larger program; try both at the best batch.
-    configs = [(batch, 1), (batch, 0)] if batch else [(8, 1), (8, 0), (16, 1)]
+    # Full-depth (parity) headline at B=8: the compile-time buffer ladder
+    # (NOTES round-4, scripts/memprofile_step.py) put B=16 full depth at
+    # 16.6 GB peak > the chip; revisit the batch list when the decoder
+    # backward segmentation moves it. (batch, encoder scan_unroll):
+    # unroll=0 measured ~3% faster on device but is a larger program.
+    configs = [(batch, 1), (batch, 0)] if batch else [(8, 1), (8, 0)]
     value = 0.0
     for b, unroll in configs:
         if value and time.monotonic() > deadline - 300:
@@ -307,17 +338,31 @@ def main():
                     print(f"# batch {b} lse=0 retry timed out", file=sys.stderr)
     if value == 0.0:
         raise RuntimeError("all benchmark batch sizes failed")
-    _emit(value, 0.0)  # a valid line exists from here on, whatever happens
+    depth = os.environ.get("BENCH_DEPTH", "full")
+    flops_pp = FALLBACK_FLOPS_PER_PATCH.get(depth, FALLBACK_FLOPS_PER_PATCH["full"])
+    _emit(value, 0.0, flops_pp)  # a valid line exists from here on
 
-    # full-depth row FIRST (it is the parity number — r3's lever probes
-    # starved it), then the lever probes; re-emit after each improvement.
-    full_value = 0.0
+    # Honest MFU denominator: cost_analysis on the compiled single step
+    # (one extra, service-cached compile). Gated on remaining budget.
+    if deadline - time.monotonic() > 420:
+        try:
+            flops_pp = _step_flops_per_patch(batch or 8, depth)
+            print(f"# step flops/patch ({depth}): {flops_pp:.3e}",
+                  file=sys.stderr)
+            _emit(value, 0.0, flops_pp)
+        except Exception as e:  # noqa: BLE001 — fall back to the constant
+            print(f"# cost_analysis failed: {type(e).__name__}",
+                  file=sys.stderr)
+
+    # pruned continuity row (the pre-r5 headline), then the lever probes;
+    # re-emit after each improvement.
+    pruned_value = 0.0
     try:
-        full_value = _measure_full_depth(batch or 8, deadline)
+        pruned_value = _measure_pruned(batch or 8, deadline)
     except Exception as e:  # noqa: BLE001 — the row must never sink the run
-        print(f"# full-depth row failed: {type(e).__name__}", file=sys.stderr)
-    if full_value:
-        _emit(value, full_value)
+        print(f"# pruned row failed: {type(e).__name__}", file=sys.stderr)
+    if pruned_value:
+        _emit(value, pruned_value, flops_pp)
     try:
         lever_best = _probe_levers(batch or 8, value, deadline)
     except Exception as e:  # noqa: BLE001 — autotune must never sink the run
@@ -325,52 +370,44 @@ def main():
         lever_best = value
     if lever_best > value:
         value = lever_best
-        _emit(value, full_value)
+        _emit(value, pruned_value, flops_pp)
 
 
-def _measure_full_depth(batch, deadline):
-    """Extra row: depth_mode='full' (the PARITY DEFAULT — the depth-mode
-    equivalence matrix showed full-depth IN stats train materially better,
-    NOTES round-3). Reported as its own JSON field; the headline `value`
-    stays the depth-pruned benchmark mode for cross-round continuity."""
+def _measure_pruned(batch, deadline):
+    """Continuity row: depth_mode='pruned' — the fast-inference/benchmark
+    mode that was the headline through round 4 (PARITY.md bans it for
+    training; kept as one field so cross-round numbers stay comparable)."""
     import subprocess
 
-    if os.environ.get("BENCH_FULL_ROW", "1") == "0":
+    if os.environ.get("BENCH_PRUNED_ROW", "1") == "0":
         return 0.0
-    best = 0.0
-    # B=8 only: the compile-time buffer assignment (NOTES round-4 memory
-    # ladder, scripts/memprofile_step.py) puts B=16 full depth at 16.6 GB
-    # peak (15.7 with decoder_remat) vs ~12 GB usable HBM — probing it
-    # would spend driver-bench budget on a certain RESOURCE_EXHAUSTED.
-    for b in dict.fromkeys([batch]):
-        left = deadline - time.monotonic()
-        if left < 120:
-            print("# bench deadline reached before full-depth row",
-                  file=sys.stderr)
-            return best
-        env = dict(os.environ)
-        env["BENCH_DEPTH"] = "full"
-        env["BENCH_ONECONF"] = f"{b},0,all,0,0"
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                capture_output=True, text=True,
-                timeout=min(1500, left), env=env,
-            )
-            v = 0.0
-            for line in out.stdout.splitlines():
-                if line.startswith("ONECONF_RESULT "):
-                    v = float(line.split()[1])
-                    print(f"# depth:full b={b}: {v:.2f}", file=sys.stderr)
-            if not v:
-                print(f"# depth:full b={b} failed (rc={out.returncode})",
-                      file=sys.stderr)
-                for ln in out.stderr.splitlines()[-15:]:
-                    print(f"#   full| {ln}", file=sys.stderr)
-            best = max(best, v)
-        except subprocess.TimeoutExpired:
-            print(f"# depth:full b={b} timed out", file=sys.stderr)
-    return best
+    left = deadline - time.monotonic()
+    if left < 120:
+        print("# bench deadline reached before pruned row", file=sys.stderr)
+        return 0.0
+    env = dict(os.environ)
+    env["BENCH_DEPTH"] = "pruned"
+    env["BENCH_ONECONF"] = f"{batch},0,all,0,0"
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True,
+            timeout=min(1200, left), env=env,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"# depth:pruned b={batch} timed out", file=sys.stderr)
+        return 0.0
+    v = 0.0
+    for line in out.stdout.splitlines():
+        if line.startswith("ONECONF_RESULT "):
+            v = float(line.split()[1])
+            print(f"# depth:pruned b={batch}: {v:.2f}", file=sys.stderr)
+    if not v:
+        print(f"# depth:pruned b={batch} failed (rc={out.returncode})",
+              file=sys.stderr)
+        for ln in out.stderr.splitlines()[-15:]:
+            print(f"#   pruned| {ln}", file=sys.stderr)
+    return v
 
 
 if __name__ == "__main__":

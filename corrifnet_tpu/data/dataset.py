@@ -189,6 +189,21 @@ class DeviceDataset:
         self._gather = jax.jit(gather)
 
     @staticmethod
+    def _masks_compressible(masks: np.ndarray) -> bool:
+        """Whether ``wire_cast_batch`` will actually shrink these masks
+        (f32 holding exactly-uint8 values -> u8). Mirrors its test,
+        chunked so the check never allocates a full-set uint8 copy."""
+        if masks.dtype != np.float32:
+            return False
+        flat = masks.reshape(-1)
+        step = 1 << 24
+        for i in range(0, flat.size, step):
+            c = flat[i:i + step]
+            if not (c.astype(np.uint8) == c).all():
+                return False
+        return True
+
+    @staticmethod
     def fits(images: np.ndarray, masks: np.ndarray, wire_cast: bool,
              budget_bytes: float = None) -> bool:
         """Conservative placement check: the resident set must leave room
@@ -199,17 +214,26 @@ class DeviceDataset:
         reports no memory_stats to do better). Default budget 4 GB;
         raise via CORRIFNET_DEVICE_DATA_BUDGET_GB for lean models."""
         return DeviceDataset.fits_bytes(
-            images.nbytes, masks.nbytes, wire_cast, budget_bytes)
+            images.nbytes, masks.nbytes, wire_cast, budget_bytes,
+            mask_compressible=(
+                wire_cast and DeviceDataset._masks_compressible(masks)),
+        )
 
     @staticmethod
     def fits_bytes(image_bytes: int, mask_bytes: int, wire_cast: bool,
-                   budget_bytes: float = None) -> bool:
+                   budget_bytes: float = None,
+                   mask_compressible: bool = False) -> bool:
+        """``mask_compressible``: only count the 4x mask shrink when the
+        caller has verified the masks really wire-cast to u8 — non-binary
+        masks stay f32 and assuming compression would under-count the
+        resident bytes (conservative default: no compression)."""
         if budget_bytes is None:
             budget_bytes = 1e9 * float(
                 os.environ.get("CORRIFNET_DEVICE_DATA_BUDGET_GB", "4"))
         n = image_bytes + mask_bytes
         if wire_cast:
-            n = image_bytes // 2 + mask_bytes // 4
+            n = image_bytes // 2 + (
+                mask_bytes // 4 if mask_compressible else mask_bytes)
         return n <= budget_bytes
 
     def covers(self, indices) -> bool:

@@ -211,7 +211,13 @@ class RobustMseg(fnn.Module):
         b, m, c, h, w = x.shape
         cdtype = self.dtype or x.dtype
         xm = jnp.moveaxis(x, 2, -1).astype(cdtype)  # (B, M, H, W, C)
-        drop = (x.reshape(b, m, -1).sum(axis=2) == 0).astype(cdtype)  # (B, M)
+        # modality-drop detection (RobustSeg.py:214): sum in f32 regardless
+        # of the wire dtype — a bf16-accumulated sum could cancel to exactly
+        # 0 on a present modality, so the detection must not inherit the
+        # wire cast's compute dtype (ADVICE r4)
+        drop = (
+            x.reshape(b, m, -1).astype(jnp.float32).sum(axis=2) == 0
+        ).astype(cdtype)  # (B, M)
 
         VStyle = fnn.vmap(StyleEncoder, in_axes=(0, None), out_axes=0,
                           variable_axes={"params": 0},

@@ -289,12 +289,15 @@ def _maybe_device_dataset(model, images, masks, mesh, vlind=None):
         on_accel = jax.default_backend() not in ("cpu",)
         if not on_accel:
             return None
-        if not DeviceDataset.fits(images, masks, wire):
+        mc = wire and DeviceDataset._masks_compressible(masks)
+        if not DeviceDataset.fits_bytes(
+                images.nbytes, masks.nbytes, wire, mask_compressible=mc):
             # byte math only — images[vlind] would copy GBs host-side
             n_val = 0 if vlind is None else len(vlind)
             frac = n_val / len(images) if len(images) else 0.0
             if not n_val or not DeviceDataset.fits_bytes(
-                    int(images.nbytes * frac), int(masks.nbytes * frac), wire):
+                    int(images.nbytes * frac), int(masks.nbytes * frac), wire,
+                    mask_compressible=mc):
                 return None
             indices = vlind
     dd = DeviceDataset(images, masks, wire_cast=wire, indices=indices)

@@ -390,9 +390,15 @@ def train_model(
         if checkpoint_every_epoch and ckpt is not None and extended_checkpoints:
             ckpt.save_state(f"state{i}", state)
         if deadline is not None and time.monotonic() >= deadline:
+            hint = (
+                "resume with run.main --resume"
+                if extended_checkpoints and checkpoint_every_epoch
+                and ckpt is not None
+                else "not resumable (extended_checkpoints is off — no "
+                     "state{i} was written)"
+            )
             msg = (f"deadline reached after epoch {epoch} "
-                   f"({epoch + 1}/{n_epochs} epochs) — stopping; resume "
-                   f"with run.main --resume")
+                   f"({epoch + 1}/{n_epochs} epochs) — stopping; {hint}")
             print(msg)
             if logs is not None:
                 logs.lr.write(msg + "\n")
