@@ -40,10 +40,13 @@ __all__ = [
     "Bottleneck2d",
     "SegmentHead",
     "DAPPM",
+    "PAPPM",
     "PagFM",
     "Bag",
     "CrossAttention",
     "CrossAttentionBlock",
+    "Block",
+    "MultiScaleBlock",
     "SwinBlock",
     "PatchMerging",
     "WindowAttention",
@@ -174,6 +177,58 @@ class DAPPM(fnn.Module):
         return comp + short
 
 
+class PAPPM(fnn.Module):
+    """Parallel-aggregation pyramid pooling (model_utils.py:196-266).
+
+    Same pooling pyramid as DAPPM, but the four pooled branches are
+    upsampled, residually added to the stride-1 branch and then processed
+    in PARALLEL by ONE grouped 3x3 conv (groups=4) — PIDNet's faster PPM
+    variant. Pool sizes/strides, BN->ReLU->conv ordering, bilinear
+    align_corners=False (algc, model_utils.py:10) and the
+    compression/shortcut sum match the reference."""
+
+    branch_planes: int
+    outplanes: int
+    dtype: Dtype = None
+
+    @fnn.compact
+    def __call__(self, x, train: bool = True):
+        h, w = x.shape[1], x.shape[2]
+        dt = self.dtype
+
+        def bn_relu_conv(y, ch, k, name, groups=1):
+            y = BatchNorm(dtype=dt, name=f"{name}_bn")(
+                y, use_running_average=not train
+            )
+            y = jax.nn.relu(y)
+            return Conv(ch, k, padding=k // 2, groups=groups, use_bias=False,
+                        dtype=dt, name=f"{name}_conv")(y)
+
+        x_ = bn_relu_conv(x, self.branch_planes, 1, "scale0")
+        pools = [
+            avg_pool(x, (5, 5), (2, 2), (2, 2)),
+            avg_pool(x, (9, 9), (4, 4), (4, 4)),
+            avg_pool(x, (17, 17), (8, 8), (8, 8)),
+            x.mean(axis=(1, 2), keepdims=True),
+        ]
+        scales = [
+            resize_linear(
+                bn_relu_conv(p, self.branch_planes, 1, f"scale{i + 1}"),
+                (h, w), align_corners=False,
+            ) + x_
+            for i, p in enumerate(pools)
+        ]
+        scale_out = bn_relu_conv(
+            jnp.concatenate(scales, axis=-1), self.branch_planes * 4, 3,
+            "scale_process", groups=4,
+        )
+        comp = bn_relu_conv(
+            jnp.concatenate([x_, scale_out], axis=-1), self.outplanes, 1,
+            "compression",
+        )
+        return comp + bn_relu_conv(x, self.outplanes, 1, "shortcut")
+
+
 class PagFM(fnn.Module):
     """Pixel-attention-guided fusion (model_utils.py:268-312)."""
 
@@ -255,6 +310,45 @@ class CrossAttention(fnn.Module):
         return Dense(c, dtype=self.dtype, name="proj")(out)
 
 
+class Block(fnn.Module):
+    """Standard pre-norm ViT block — timm's ``Block``, which the
+    reference's MultiScaleBlock instantiates via
+    ``from timm.models.vision_transformer import Block`` (utils.py:8):
+    LN -> MHSA (fused qkv, scale head_dim^-0.5, output proj) -> residual,
+    LN -> MLP (fc1 -> GELU -> fc2) -> residual."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    dtype: Dtype = None
+
+    @fnn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, n, c = x.shape
+        h = self.num_heads
+        hd = c // h
+        scale = hd ** -0.5
+        y = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        qkv = Dense(c * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                    name="qkv")(y)
+        qkv = qkv.reshape(b, n, 3, h, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = jax.nn.softmax(
+            (jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale).astype(jnp.float32),
+            axis=-1,
+        ).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        x = x + Dense(c, dtype=self.dtype, name="proj")(out)
+        y = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                  name="fc1")(y)
+        y = jax.nn.gelu(y, approximate=False)
+        y = Dense(self.dim, dtype=self.dtype, name="fc2")(y)
+        return x + y
+
+
 class CrossAttentionBlock(fnn.Module):
     """utils.py:446-468: pre-norm CLS cross-attention with residual on the
     CLS token (the block's output is the 1-token CLS stream)."""
@@ -281,3 +375,82 @@ class CrossAttentionBlock(fnn.Module):
             y = Dense(self.dim, dtype=self.dtype, name="fc2")(y)
             cls = cls + y
         return cls
+
+
+class MultiScaleBlock(fnn.Module):
+    """CrossViT multi-scale token fusion (utils.py:470-542): each branch's
+    CLS token is projected into the next branch's width, cross-attends over
+    that branch's patch tokens, and is reverted onto its own patch tokens.
+
+    Reference quirks, preserved and documented:
+      * the identity shortcut for equal-width projections is disabled by a
+        literal ``and False`` (utils.py:493,518) — norm->GELU->linear is
+        always built;
+      * fusion block i is parameterized by ``mlp_ratio[i]`` (the OUTER
+        branch index) while running at branch (i+1)'s width — moot, since
+        ``has_mlp=False``;
+      * ``depth[-1] == 0`` still builds ONE fusion block ("backward
+        capability", utils.py:505-508);
+      * the per-branch transformer ``Block``s run AFTER the fusion with
+        ``zip`` silently aligning ``outs`` to the branches whose depth is
+        nonzero, and their outputs are DISCARDED — forward returns ``outs``
+        (utils.py:541-542). The parameters are still created here (and the
+        dead compute traced — XLA DCEs it under jit) so the param tree
+        matches the reference's state-dict; on a width-mismatched zip
+        alignment (some-but-not-all depths zero — where torch itself would
+        fault) the dead blocks run on 1-token dummies of the right width.
+      * as committed the reference file cannot even import without timm
+        (``Block``, utils.py:8 — see ``extras.Block``), and the all-depths-
+        zero case crashes on ``zip(outs, None)`` (utils.py:541).
+    """
+
+    dims: tuple
+    depths: tuple  # per-branch Block depths; depths[-1] = fusion depth
+    num_heads: tuple
+    mlp_ratios: tuple
+    qkv_bias: bool = False
+    dtype: Dtype = None
+
+    @fnn.compact
+    def __call__(self, xs, deterministic: bool = True):
+        nb = len(self.dims)
+        proj_cls = []
+        for d in range(nb):
+            y = LayerNorm(dtype=self.dtype, name=f"proj{d}_norm")(
+                xs[d][:, 0:1]
+            )
+            y = jax.nn.gelu(y, approximate=False)
+            proj_cls.append(
+                Dense(self.dims[(d + 1) % nb], dtype=self.dtype,
+                      name=f"proj{d}_fc")(y)
+            )
+        outs = []
+        for i in range(nb):
+            i1 = (i + 1) % nb
+            tmp = jnp.concatenate([proj_cls[i], xs[i1][:, 1:]], axis=1)
+            for j in range(max(self.depths[-1], 1)):
+                tmp = CrossAttentionBlock(
+                    self.dims[i1], self.num_heads[i1],
+                    mlp_ratio=self.mlp_ratios[i], qkv_bias=self.qkv_bias,
+                    has_mlp=False, dtype=self.dtype, name=f"fusion{i}_{j}",
+                )(tmp, deterministic)
+            y = LayerNorm(dtype=self.dtype, name=f"revert{i}_norm")(
+                tmp[:, 0:1]
+            )
+            y = jax.nn.gelu(y, approximate=False)
+            y = Dense(self.dims[i], dtype=self.dtype,
+                      name=f"revert{i}_fc")(y)
+            outs.append(jnp.concatenate([y, xs[i][:, 1:]], axis=1))
+        # dead per-branch refinement (see docstring): params created for
+        # state-dict parity, results discarded like the reference's outs_b
+        live = [d for d in range(nb) if self.depths[d] > 0]
+        for k, d in enumerate(live):
+            z = outs[k]
+            if z.shape[-1] != self.dims[d]:
+                z = jnp.zeros((z.shape[0], 1, self.dims[d]), z.dtype)
+            for i in range(self.depths[d]):
+                z = Block(self.dims[d], self.num_heads[d],
+                          mlp_ratio=self.mlp_ratios[d],
+                          qkv_bias=self.qkv_bias, dtype=self.dtype,
+                          name=f"block{d}_{i}")(z, deterministic)
+        return outs
