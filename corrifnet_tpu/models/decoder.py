@@ -74,6 +74,14 @@ class DecoderFuse(fnn.Module):
     # stored. Bit-identical fwd/grads (fnn.remat is transparent — tested);
     # trades decoder-bwd FLOPs for the multi-GB full-depth working set
     # that blocks device-resident data / larger batches (NOTES round 4).
+    lean: bool = True  # full+fused mode: lean-residual stage chaining
+    # (nn/leandec.py) — ONE stored volume per conv/relu/IN stage instead of
+    # two-three: the relu/IN backward runs from the relu output (custom
+    # VJP, ops.instancenorm.relu_in_stats) and the next conv rebuilds its
+    # input from (y, a, b) inside a rematted region. Forward is
+    # operation-identical to the standard path; grads equal autodiff to
+    # f32 reassociation (tests/test_lean_decoder.py). Supersedes
+    # remat_convs/use_pallas_epilogue for the chained stages when active.
     dtype: Dtype = None
 
     @fnn.compact
@@ -84,7 +92,10 @@ class DecoderFuse(fnn.Module):
         """
         pruned = self.depth_mode == "pruned"
         fuse = self.fuse_depth and not pruned
+        lean = self.lean and fuse
         dt = self.dtype
+        if lean:
+            return self._lean_cascade(x1, x2, x3, x4, x5, train)
 
         # static_argnums: 0=module, 1=x, 2=train, 3=depth_fuse (call sites
         # below pass train/depth_fuse positionally for this)
@@ -193,4 +204,75 @@ class DecoderFuse(fnn.Module):
         )(de_x1)
         pred = jax.nn.sigmoid(logits.astype(jnp.float32))
         # channels-last (B, 1, 224, 224, 3) -> reference (B, 3, 1, 224, 224)
+        return jnp.moveaxis(pred, -1, 1)
+
+    def _lean_cascade(self, x1, x2, x3, x4, x5, train):
+        """Full-depth fused cascade with lean-residual stage chaining
+        (nn/leandec.py — VERDICT r4 #2): identical math and parameter
+        layout to the standard chain above; each conv/relu/IN stage hands
+        ``(y, a, b)`` to its consumer so exactly one volume per stage is
+        stored for the backward."""
+        from corrifnet_tpu.nn.leandec import (
+            LeanGeneralConv3d, lean_head,
+        )
+
+        dt = self.dtype
+        pe = self.use_pallas_epilogue
+
+        def lconv(feat, k, pad, name, pre_resize=()):
+            return LeanGeneralConv3d(
+                feat, k, 1, pad, pad_mode="replicate", dtype=dt, name=name,
+                pre_resize=pre_resize,
+            )
+
+        def rfm(x, ch, name, hw):
+            sk = FusionPrenorm(ch, use_pallas_epilogue=pe, dtype=dt,
+                               name=name)(x, train)
+            return resize_nearest(sk, (sk.shape[1], *hw))
+
+        # ---- level 5: multimodal bottleneck (8^3) ------------------------
+        de_x5 = FusionPrenorm(BD * 8 * 3, use_pallas_epilogue=pe, dtype=dt,
+                              name="RFM5")(x5, train)
+        if self.use_reduce:
+            de_x5 = Conv(
+                BD * 16, 1, kernel_init=tinit.kaiming_normal, dtype=dt,
+                name="RFM5_reduce",
+            )(de_x5)
+        h = lconv(BD * 16, 3, 1, "d4_c1", pre_resize=(8, 16, 16))(
+            de_x5, train, ("linear", 16))
+
+        # ---- level 4 ----------------------------------------------------
+        sk = rfm(x4, BD * 8 * 3, "RFM4", (16, 16))
+        h = lconv(BD * 8, 3, 1, "d4_c2")((sk, h), train, ("nearest", 16))
+        h = lconv(BD * 8, 1, 0, "d4_out")(h, train)
+        h = lconv(BD * 4, 3, 1, "d3_c1", pre_resize=(16, 32, 32))(
+            h, train, ("linear", 32))
+
+        # ---- level 3 ----------------------------------------------------
+        sk = rfm(x3, BD * 4 * 3, "RFM3", (32, 32))
+        h = lconv(BD * 4, 3, 1, "d3_c2")((sk, h), train, ("nearest", 32))
+        h = lconv(BD * 4, 1, 0, "d3_out")(h, train)
+        h = lconv(BD * 2, 3, 1, "d2_c1", pre_resize=(32, 64, 64))(
+            h, train, ("linear", 64))
+
+        # ---- level 2 ----------------------------------------------------
+        sk = rfm(x2, BD * 2 * 3, "RFM2", (64, 64))
+        h = lconv(BD * 2, 3, 1, "d2_c2")((sk, h), train, ("nearest", 64))
+        h = lconv(BD * 2, 1, 0, "d2_out")(h, train)
+        h = lconv(BD, 3, 1, "d1_c1", pre_resize=(64, 128, 128))(
+            h, train, ("linear", 128))
+
+        # ---- level 1 ----------------------------------------------------
+        sk = rfm(x1, BD * 3, "RFM1", (128, 128))
+        h = lconv(BD, 3, 1, "d1_c2")((sk, h), train, ("nearest", 128))
+        h = lconv(BD, 1, 0, "d1_out")(h, train)
+
+        # ---- head (depth slice 0 only, mmvit4.py:263) --------------------
+        de_x1 = lean_head(h)
+        de_x1 = resize_linear(de_x1, (1, 224, 224), align_corners=True)
+        logits = Conv(
+            3, 1, kernel_init=tinit.kaiming_normal, dtype=dt,
+            name="final_conv",
+        )(de_x1)
+        pred = jax.nn.sigmoid(logits.astype(jnp.float32))
         return jnp.moveaxis(pred, -1, 1)

@@ -104,6 +104,9 @@ class MMVit4(fnn.Module):
     decoder_remat: bool = False  # rematerialize decoder conv blocks in bwd
     # (DecoderFuse.remat_convs): bit-identical, trades decoder-bwd FLOPs
     # for the full-depth multi-GB working set (NOTES round 4)
+    decoder_lean: bool = True  # lean-residual full-depth decoder backward
+    # (DecoderFuse.lean / nn/leandec.py): one stored volume per stage —
+    # bit-identical forward, grads equal to autodiff at f32 reassociation
 
     @fnn.compact
     def __call__(self, x, train: bool = False):
@@ -233,6 +236,6 @@ class MMVit4(fnn.Module):
         return DecoderFuse(
             num_cls=self.num_cls, depth_mode=self.depth_mode,
             use_pallas_epilogue=self.use_pallas, dtype=self.dtype,
-            remat_convs=self.decoder_remat,
+            remat_convs=self.decoder_remat, lean=self.decoder_lean,
             name="decoder",
         )(fused_x1, fused_x2, fused_x3, fused_x4, x6_inter, train)

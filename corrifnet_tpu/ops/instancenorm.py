@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["relu_instancenorm", "relu_instancenorm_xla"]
+__all__ = ["relu_instancenorm", "relu_instancenorm_xla", "relu_in_stats"]
 
 # Set True to run in the Pallas interpreter (CPU testing).
 INTERPRET = False
@@ -145,3 +145,82 @@ def _vjp_bwd(eps, x, g):
 
 
 _relu_instancenorm_impl.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Lean epilogue: relu + IN statistics with storage-minimal residuals.
+#
+# The full-depth decoder's backward working set is dominated by per-stage
+# stored residuals: the standard composition keeps BOTH the conv's pre-act
+# output (relu/IN backward) AND the normalized output (next conv's wgrad)
+# alive until the backward — two (B, D, H, W, C) volumes per stage at depth
+# up to 128 (NOTES round-4 memory ladder; per-conv remat provably cannot
+# move it). ``relu_in_stats`` splits the epilogue: it returns the RELU
+# output y plus the f32 normalization scalars (a, b) — the ``y*a+b`` fma
+# and the consuming conv run inside a rematted region
+# (nn.leandec.LeanGeneralConv3d), so the normalized volume is recomputed
+# from (y, a, b) during the backward (one fused fma pass) instead of being
+# stored, and the pre-act x is never a residual at all: the relu mask is
+# recovered from y (``y > 0`` <=> ``x > 0`` exactly — bf16 relu preserves
+# positive values bit-for-bit), and the statistics backward is hand-derived
+# from (y, mean, var, a). Net: ONE stored volume per stage.
+#
+# Exactness: the forward is operation-identical to relu_instancenorm_xla
+# (same single-pass E[x^2] stats, same cast placement); gradients equal
+# autodiff's to f32 reassociation (tests/test_lean_decoder.py).
+# ---------------------------------------------------------------------------
+
+
+def _relu_stats_math(x, eps):
+    axes = tuple(range(1, x.ndim - 1))
+    y = jax.nn.relu(x)
+    yf = y.astype(jnp.float32)
+    mean = yf.mean(axis=axes, keepdims=True)
+    sq = (yf * yf).mean(axis=axes, keepdims=True)
+    var = jnp.maximum(sq - mean * mean, 0.0)
+    a = jax.lax.rsqrt(var + eps)
+    b = -mean * a
+    dt = x.dtype
+    return y, mean, var, a, a.astype(dt), b.astype(dt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def relu_in_stats(x, eps=1e-5):
+    """relu + InstanceNorm statistics, lean-residual form.
+
+    Returns ``(y, a, b)`` with ``y = relu(x)`` and the per-(sample,
+    channel) normalization scalars in the compute dtype; the caller applies
+    ``y * a + b`` (bit-identical to ``relu_instancenorm_xla(x)``) inside a
+    rematted region so the normalized volume is never stored."""
+    y, _, _, _, ac, bc = _relu_stats_math(x, eps)
+    return y, ac, bc
+
+
+def _ris_fwd(x, eps):
+    y, mean, var, a, ac, bc = _relu_stats_math(x, eps)
+    return (y, ac, bc), (y, mean, var, a)
+
+
+def _ris_bwd(eps, res, cts):
+    y, mean, var, a = res
+    gy, gac, gbc = cts
+    axes = tuple(range(1, y.ndim - 1))
+    n = 1.0
+    for ax in axes:
+        n *= y.shape[ax]
+    # mirror autodiff through _relu_stats_math: the a/b cotangents arrive
+    # from the consumer's fma transpose (gac = sum g*y, gbc = sum g)
+    da = gac.astype(jnp.float32)
+    db = gbc.astype(jnp.float32)
+    dmean = -a * db
+    da = da - mean * db
+    dvar = jnp.where(var > 0, -0.5 * a * a * a * da, 0.0)
+    dmean = dmean - 2.0 * mean * dvar
+    yf = y.astype(jnp.float32)
+    dyf = (2.0 * yf * dvar + dmean) * (1.0 / n)
+    dy = gy + dyf.astype(y.dtype)
+    dx = jnp.where(y > 0, dy, jnp.zeros((), y.dtype))
+    return (dx,)
+
+
+relu_in_stats.defvjp(_ris_fwd, _ris_bwd)

@@ -201,7 +201,8 @@ def run_experiment(cfg: ExperimentConfig, run_root=".", index: int = 0,
         mesh = make_mesh(tuple(cfg.mesh_shape))
         print("mesh:", dict(zip(mesh.axis_names, mesh.devices.shape)))
 
-    device_data = _maybe_device_dataset(model, images, masks, mesh, vlind)
+    device_data = _maybe_device_dataset(
+        model, images, masks, mesh, vlind, tsind)
 
     state, history = train_model(
         model, state, optimizer,
@@ -261,22 +262,24 @@ def run_experiment(cfg: ExperimentConfig, run_root=".", index: int = 0,
     }
 
 
-def _maybe_device_dataset(model, images, masks, mesh, vlind=None):
-    """Place the dataset (or just the per-epoch-re-streamed VAL fold) in
-    device memory when it fits (``data.dataset.DeviceDataset`` — through
-    a tunneled TPU attach the host->device stream is the wall-clock
+def _maybe_device_dataset(model, images, masks, mesh, vlind=None,
+                          tsind=None):
+    """Place the dataset (or just the re-streamed eval folds) in device
+    memory when it fits (``data.dataset.DeviceDataset`` — through a
+    tunneled TPU attach the host->device stream is the wall-clock
     bottleneck).
 
     Auto: on for accelerator backends, single-device only (under a mesh
     the sharding layer owns batch placement), sized against a
     conservative HBM budget (CORRIFNET_DEVICE_DATA_BUDGET_GB; the
     measured full-depth MMVit4 step peaks at 6.1 GB at B=4 of the ~12
-    usable — NOTES round-4 memory ladder). When the full set is too big
-    but the val fold fits, only the val fold goes resident — it is
-    re-evaluated every epoch (F4_TRAIN.py:96-180) so it pays the wire
-    cost n_epochs times. ``CORRIFNET_DEVICE_DATA``: ``0`` kills it,
-    ``1`` forces the full set (e.g. to exercise the path on CPU),
-    unset = auto."""
+    usable — NOTES round-4 memory ladder). When the full set is too big,
+    the fallbacks are tried largest-first: val+test folds (the val fold
+    is re-evaluated every epoch, F4_TRAIN.py:96-180, and the test fold
+    streams during the FPS-measured test phase, F7_TEST2.py — r4's test
+    phase ran at 17 patches/s purely on wire bytes), then val-only.
+    ``CORRIFNET_DEVICE_DATA``: ``0`` kills it, ``1`` forces the full set
+    (e.g. to exercise the path on CPU), unset = auto."""
     from corrifnet_tpu.data.dataset import DeviceDataset
     from corrifnet_tpu.train.loop import _wire_cast_enabled
 
@@ -284,7 +287,7 @@ def _maybe_device_dataset(model, images, masks, mesh, vlind=None):
     wire = _wire_cast_enabled(model)
     if mode == "0" or mesh is not None:
         return None
-    indices = None
+    indices, what = None, "dataset"
     if mode != "1":
         on_accel = jax.default_backend() not in ("cpu",)
         if not on_accel:
@@ -292,16 +295,26 @@ def _maybe_device_dataset(model, images, masks, mesh, vlind=None):
         mc = wire and DeviceDataset._masks_compressible(masks)
         if not DeviceDataset.fits_bytes(
                 images.nbytes, masks.nbytes, wire, mask_compressible=mc):
-            # byte math only — images[vlind] would copy GBs host-side
+            # byte math only — images[subset] would copy GBs host-side
             n_val = 0 if vlind is None else len(vlind)
-            frac = n_val / len(images) if len(images) else 0.0
-            if not n_val or not DeviceDataset.fits_bytes(
-                    int(images.nbytes * frac), int(masks.nbytes * frac), wire,
-                    mask_compressible=mc):
+            n_test = 0 if tsind is None else len(tsind)
+            candidates = []
+            if n_val and n_test:
+                candidates.append(
+                    (np.concatenate([np.asarray(vlind), np.asarray(tsind)]),
+                     "val+test-fold"))
+            if n_val:
+                candidates.append((np.asarray(vlind), "val-fold"))
+            for cand, label in candidates:
+                frac = len(cand) / len(images) if len(images) else 0.0
+                if DeviceDataset.fits_bytes(
+                        int(images.nbytes * frac), int(masks.nbytes * frac),
+                        wire, mask_compressible=mc):
+                    indices, what = cand, label
+                    break
+            if indices is None:
                 return None
-            indices = vlind
     dd = DeviceDataset(images, masks, wire_cast=wire, indices=indices)
-    what = "val-fold" if indices is not None else "dataset"
     print(f"device-resident {what}: {dd.nbytes / 1e9:.2f} GB on "
           f"{jax.devices()[0].platform}")
     return dd

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def profile(batch, dremat, depth):
+def profile(batch, dremat, depth, lean):
     from corrifnet_tpu.models.mmvit4 import MMVit4
     from corrifnet_tpu.train import (
         default_dropout_key, init_state, make_optimizer,
@@ -31,7 +31,7 @@ def profile(batch, dremat, depth):
 
     model = MMVit4(
         dtype=jnp.bfloat16, use_pallas=True, depth_mode=depth,
-        decoder_remat=dremat,
+        decoder_remat=dremat, decoder_lean=lean,
     )
     rng = np.random.default_rng(0)
     images = jnp.asarray(
@@ -47,7 +47,7 @@ def profile(batch, dremat, depth):
     m = compiled.memory_analysis()
     g = 1 / 1e9
     print(
-        f"B={batch} depth={depth} dremat={int(dremat)}: "
+        f"B={batch} depth={depth} dremat={int(dremat)} lean={int(lean)}: "
         f"args {m.argument_size_in_bytes * g:.2f} GB, "
         f"out {m.output_size_in_bytes * g:.2f} GB, "
         f"temp {m.temp_size_in_bytes * g:.2f} GB, "
@@ -62,9 +62,10 @@ def main():
     batches = [int(a) for a in sys.argv[1:]] or [4, 8]
     dremat = os.environ.get("MEMPROF_DREMAT", "0") == "1"
     depth = os.environ.get("MEMPROF_DEPTH", "full")
+    lean = os.environ.get("MEMPROF_LEAN", "1") == "1"
     print(f"backend: {jax.default_backend()}", flush=True)
     for b in batches:
-        profile(b, dremat, depth)
+        profile(b, dremat, depth, lean)
 
 
 if __name__ == "__main__":

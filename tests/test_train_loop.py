@@ -568,6 +568,19 @@ def test_maybe_device_dataset_val_fold_auto(monkeypatch):
     full = _maybe_device_dataset(model, images, masks, None, vlind)
     assert full is not None and full.covers(np.arange(10))
 
+    # val+test-fold residency (r5): preferred over val-only when it fits,
+    # dropped back to val-only when it does not
+    tsind = np.array([7, 8, 9])
+    monkeypatch.setenv(
+        "CORRIFNET_DEVICE_DATA_BUDGET_GB", str(6 * per_sample / 1e9))
+    dd = _maybe_device_dataset(model, images, masks, None, vlind, tsind)
+    assert dd is not None and dd.covers(vlind) and dd.covers(tsind)
+    assert not dd.covers([0])
+    monkeypatch.setenv(
+        "CORRIFNET_DEVICE_DATA_BUDGET_GB", str(3 * per_sample / 1e9))
+    dd = _maybe_device_dataset(model, images, masks, None, vlind, tsind)
+    assert dd is not None and dd.covers(vlind) and not dd.covers(tsind)
+
 
 def test_save_state_crash_safe_generations(setup, tmp_path):
     """save_state writes {name}@{step} and retires older generations only
