@@ -64,6 +64,14 @@ class ExperimentConfig:
     decoder_remat: bool = False  # MMVit4: rematerialize decoder conv blocks
                              # in the backward — bit-identical; shrinks the
                              # full-depth multi-GB bwd working set
+    decoder_lean: "bool | None" = None  # MMVit4: lean-residual decoder
+                             # backward (nn/leandec.py) — bit-identical
+                             # forward; None = batch-adaptive (on at
+                             # batch <= 4, the regime where its memory
+                             # cut admits device-resident data)
+    decoder_chunk: int = 0   # MMVit4 lean mode: depth-chunk the level-1
+                             # conv backwards (memory-only lever,
+                             # measured +94 ms B=8 device step; NOTES r5)
     scan_unroll: int = 1     # MMVit4 encoder tail-scan unroll; 0 = full
                              # unroll (smaller device time, bigger program)
     auto_layout: bool = False  # XLA-chosen train-state layouts. OPT-IN:

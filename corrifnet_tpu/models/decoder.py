@@ -74,14 +74,26 @@ class DecoderFuse(fnn.Module):
     # stored. Bit-identical fwd/grads (fnn.remat is transparent — tested);
     # trades decoder-bwd FLOPs for the multi-GB full-depth working set
     # that blocks device-resident data / larger batches (NOTES round 4).
-    lean: bool = True  # full+fused mode: lean-residual stage chaining
-    # (nn/leandec.py) — ONE stored volume per conv/relu/IN stage instead of
-    # two-three: the relu/IN backward runs from the relu output (custom
-    # VJP, ops.instancenorm.relu_in_stats) and the next conv rebuilds its
-    # input from (y, a, b) inside a rematted region. Forward is
-    # operation-identical to the standard path; grads equal autodiff to
+    c2_chunks: int = 0  # lean mode: depth-chunk count for the LEVEL-1
+    # skip-concat conv (d1_c2) — bounds the backward's tap-transpose
+    # transients (the full-depth memory peak, NOTES round 5) to one chunk
+    # via a checkpointed lax.scan; 0 = off. Forward equal to f32
+    # conv-blocking reassociation (<1e-6 rel; tests/test_lean_decoder.py).
+    # Measured a memory-only lever: B=8 device step +94 ms (scan/while
+    # overhead) — keep off unless the batch is memory-bound.
+    lean: "bool | None" = None  # full+fused mode: lean-residual stage
+    # chaining (nn/leandec.py) — ONE stored volume per conv/relu/IN stage
+    # instead of two-three: the relu/IN backward runs from the relu output
+    # (custom VJP, ops.instancenorm.relu_in_stats) and the next conv
+    # rebuilds its input from (y, a, b) inside a rematted region. Forward
+    # is operation-identical to the standard path; grads equal autodiff to
     # f32 reassociation (tests/test_lean_decoder.py). Supersedes
     # remat_convs/use_pallas_epilogue for the chained stages when active.
+    # None = batch-adaptive: ON at batch <= 4 (the memory-bound regime —
+    # B=4 step peak 6.07 -> 5.16 GB, which is what admits device-resident
+    # data for the reference protocol), OFF at larger batches (the remat
+    # fma/mask recompute passes measured +18 ms of B=8 device step —
+    # NOTES round 5).
     dtype: Dtype = None
 
     @fnn.compact
@@ -92,9 +104,9 @@ class DecoderFuse(fnn.Module):
         """
         pruned = self.depth_mode == "pruned"
         fuse = self.fuse_depth and not pruned
-        lean = self.lean and fuse
+        lean = self.lean if self.lean is not None else x1.shape[0] <= 4
         dt = self.dtype
-        if lean:
+        if lean and fuse:
             return self._lean_cascade(x1, x2, x3, x4, x5, train)
 
         # static_argnums: 0=module, 1=x, 2=train, 3=depth_fuse (call sites
@@ -219,10 +231,10 @@ class DecoderFuse(fnn.Module):
         dt = self.dtype
         pe = self.use_pallas_epilogue
 
-        def lconv(feat, k, pad, name, pre_resize=()):
+        def lconv(feat, k, pad, name, pre_resize=(), chunks=0):
             return LeanGeneralConv3d(
                 feat, k, 1, pad, pad_mode="replicate", dtype=dt, name=name,
-                pre_resize=pre_resize,
+                pre_resize=pre_resize, depth_chunks=chunks,
             )
 
         def rfm(x, ch, name, hw):
@@ -257,15 +269,17 @@ class DecoderFuse(fnn.Module):
 
         # ---- level 2 ----------------------------------------------------
         sk = rfm(x2, BD * 2 * 3, "RFM2", (64, 64))
-        h = lconv(BD * 2, 3, 1, "d2_c2")((sk, h), train, ("nearest", 64))
+        h = lconv(BD * 2, 3, 1, "d2_c2", chunks=self.c2_chunks // 2)(
+            (sk, h), train, ("nearest", 64))
         h = lconv(BD * 2, 1, 0, "d2_out")(h, train)
         h = lconv(BD, 3, 1, "d1_c1", pre_resize=(64, 128, 128))(
             h, train, ("linear", 128))
 
         # ---- level 1 ----------------------------------------------------
         sk = rfm(x1, BD * 3, "RFM1", (128, 128))
-        h = lconv(BD, 3, 1, "d1_c2")((sk, h), train, ("nearest", 128))
-        h = lconv(BD, 1, 0, "d1_out")(h, train)
+        h = lconv(BD, 3, 1, "d1_c2", chunks=self.c2_chunks)(
+            (sk, h), train, ("nearest", 128))
+        h = lconv(BD, 1, 0, "d1_out", chunks=self.c2_chunks)(h, train)
 
         # ---- head (depth slice 0 only, mmvit4.py:263) --------------------
         de_x1 = lean_head(h)

@@ -104,9 +104,15 @@ class MMVit4(fnn.Module):
     decoder_remat: bool = False  # rematerialize decoder conv blocks in bwd
     # (DecoderFuse.remat_convs): bit-identical, trades decoder-bwd FLOPs
     # for the full-depth multi-GB working set (NOTES round 4)
-    decoder_lean: bool = True  # lean-residual full-depth decoder backward
-    # (DecoderFuse.lean / nn/leandec.py): one stored volume per stage —
-    # bit-identical forward, grads equal to autodiff at f32 reassociation
+    decoder_lean: "bool | None" = None  # lean-residual full-depth decoder
+    # backward (DecoderFuse.lean / nn/leandec.py): one stored volume per
+    # stage — bit-identical forward, grads equal to autodiff at f32
+    # reassociation. None = batch-adaptive (on at batch <= 4; see
+    # DecoderFuse.lean)
+    decoder_chunk: int = 0  # lean mode: depth-chunk count for d1_c2's
+    # backward (DecoderFuse.c2_chunks) — bounds the full-depth memory
+    # peak's transient cluster; fwd equal to f32 conv-blocking
+    # reassociation; 0 = off
 
     @fnn.compact
     def __call__(self, x, train: bool = False):
@@ -237,5 +243,6 @@ class MMVit4(fnn.Module):
             num_cls=self.num_cls, depth_mode=self.depth_mode,
             use_pallas_epilogue=self.use_pallas, dtype=self.dtype,
             remat_convs=self.decoder_remat, lean=self.decoder_lean,
+            c2_chunks=self.decoder_chunk,
             name="decoder",
         )(fused_x1, fused_x2, fused_x3, fused_x4, x6_inter, train)

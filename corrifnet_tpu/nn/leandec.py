@@ -92,11 +92,202 @@ class _LeanConv(Conv):
         return super().__call__(x, depth_fuse=depth_fuse)
 
 
+def _in_stats_of_act(y, eps=1e-5):
+    """InstanceNorm scalars of an already-activated volume — the stats
+    half of ``relu_in_stats`` (same ops: single-pass E[x^2], f32, same
+    cast placement). Plain autodiff: the only large residual is y, which
+    the caller stores anyway."""
+    import jax.numpy as jnp
+
+    axes = tuple(range(1, y.ndim - 1))
+    yf = y.astype(jnp.float32)
+    mean = yf.mean(axis=axes, keepdims=True)
+    sq = (yf * yf).mean(axis=axes, keepdims=True)
+    var = jnp.maximum(sq - mean * mean, 0.0)
+    a = jax.lax.rsqrt(var + eps)
+    b = -mean * a
+    dt = y.dtype
+    return a.astype(dt), b.astype(dt)
+
+
+def _chunked_nearest_conv(skip, h, kernel, bias, dst_d, chunks, cdtype):
+    """The fused skip-concat conv + ReLU, depth-chunk-scanned.
+
+    Row-for-row the SAME operations as ``Conv._depth_fused`` (skip block:
+    tap-major coarse conv + one-hot nearest expansion; run block: tap-cat
+    2-D conv + shift-add) followed by the epilogue relu — output equal to
+    f32 conv-blocking reassociation (<1e-6 rel: the run conv executes on
+    chunk-sized batches, whose internal accumulation blocking may differ
+    from the one full-volume conv) — computed one depth chunk at a time
+    inside a ``lax.scan`` whose body is checkpointed. The decoder-only memory
+    isolation (NOTES round 5) showed the full-depth backward peak is this
+    conv's TRANSPOSE cluster (shifted dz copies + concat + conv-transpose
+    over the whole 128-deep volume, all live at once); the scan bounds
+    those transients to one chunk, and the run volume is reconstructed
+    from the lean handoff per chunk.
+    """
+    import jax.numpy as jnp
+
+    from corrifnet_tpu.nn.conv import _conv2d
+    from corrifnet_tpu.nn.depthfuse import tap_expand_table
+
+    cs = skip.shape[-1]
+    co = kernel.shape[-1]
+    b_, s3, hh, ww, _ = skip.shape
+    assert dst_d % chunks == 0, (dst_d, chunks)
+    rows = dst_d // chunks
+
+    # ---- skip block at its 3 coarse rows (mirrors fused_resize_conv) ----
+    ksk = kernel[..., :cs, :]
+    xsk = jnp.pad(skip, [(0, 0), (0, 0), (1, 1), (1, 1), (0, 0)],
+                  mode="edge")
+    kcat_sk = jnp.concatenate([ksk[t] for t in range(3)], axis=-1)
+    us = _conv2d(
+        xsk.reshape(b_ * s3, *xsk.shape[2:]), kcat_sk, (1, 1),
+        [(0, 0), (0, 0)], (1, 1), 1, cdtype,
+    )
+    us = us.reshape(b_, s3, us.shape[1], us.shape[2], 3 * co)
+    m = jnp.asarray(
+        tap_expand_table("nearest", s3, dst_d, "replicate")
+    ).astype(cdtype)
+
+    # ---- run block: replicate depth pad of the RELU volume (the fma's
+    # scalars are per-(sample, channel), so fma commutes with row
+    # duplication — exact) ----
+    y1 = h.y
+    y1p = jnp.concatenate([y1[:, :1], y1, y1[:, -1:]], axis=1)
+    krun = kernel[..., cs:, :]
+    kcat_run = jnp.concatenate([krun[t] for t in range(3)], axis=-1)
+
+    def compute(start, y1p_, a_, bf_, us_, m_, kc_, bias_):
+        sl = jax.lax.dynamic_slice_in_dim(y1p_, start, rows + 2, axis=1)
+        x = sl * a_ + bf_
+        xf = jnp.pad(
+            x.reshape(b_ * (rows + 2), x.shape[2], x.shape[3], x.shape[4]),
+            [(0, 0), (1, 1), (1, 1), (0, 0)], mode="edge",
+        )
+        z = _conv2d(xf, kc_, (1, 1), [(0, 0), (0, 0)], (1, 1), 1, cdtype)
+        z = z.reshape(b_, rows + 2, z.shape[1], z.shape[2], 3 * co)
+        # shift-add within the padded chunk: out[j] = sum_t z_t[j + t]
+        run = (z[:, 0:rows, :, :, 0:co]
+               + z[:, 1:rows + 1, :, :, co:2 * co]) \
+            + z[:, 2:rows + 2, :, :, 2 * co:3 * co]
+        mc = jax.lax.dynamic_slice_in_dim(m_, start, rows, axis=0)
+        yk = None
+        for t in range(3):
+            yt = jnp.tensordot(mc[:, t, :], us_[..., t * co:(t + 1) * co],
+                               axes=[[1], [1]])
+            yk = yt if yk is None else yk + yt
+        yk = jnp.moveaxis(yk, 0, 1)
+        p = yk + run + bias_.astype(cdtype)
+        return jax.nn.relu(p).astype(cdtype)
+
+    def body(carry, start):
+        yc = jax.checkpoint(compute)(start, *carry)
+        return carry, yc
+
+    carry = (y1p, h.a, h.b, us, m, kcat_run, bias)
+    _, ys = jax.lax.scan(body, carry, jnp.arange(chunks) * rows)
+    # (chunks, B, rows, H, W, co) -> (B, dst_d, H, W, co)
+    y = jnp.moveaxis(ys, 0, 1).reshape(b_, dst_d, ys.shape[3], ys.shape[4],
+                                       co)
+    return y
+
+
+def _chunked_pointwise_conv(h, kernel, bias, chunks, cdtype):
+    """fma + 1x1 conv (channel matmul) + relu, depth-chunk-scanned — same
+    per-row ops as the standard path (``jnp.dot`` + bias), bounding the
+    backward's dgrad/wgrad transients (full-volume dp and recomputed fma)
+    to one chunk. No halo (pointwise)."""
+    import jax.numpy as jnp
+
+    y = h.y
+    b_, d, hh, ww, ci = y.shape
+    co = kernel.shape[-1]
+    assert d % chunks == 0, (d, chunks)
+    rows = d // chunks
+    k2 = kernel.reshape(ci, co)
+
+    def compute(start, y_, a_, bf_, k_, bias_):
+        sl = jax.lax.dynamic_slice_in_dim(y_, start, rows, axis=1)
+        x = sl * a_ + bf_
+        p = jnp.dot(x, k_) + bias_.astype(cdtype)
+        return jax.nn.relu(p).astype(cdtype)
+
+    def body(carry, start):
+        yc = jax.checkpoint(compute)(start, *carry)
+        return carry, yc
+
+    carry = (y, h.a, h.b, k2, bias)
+    _, ys = jax.lax.scan(body, carry, jnp.arange(chunks) * rows)
+    return jnp.moveaxis(ys, 0, 1).reshape(b_, d, hh, ww, co)
+
+
+class _ChunkedNearestConv(fnn.Module):
+    """Parameter-compatible stand-in for the ``conv`` child on the
+    chunked path: creates kernel/bias exactly as ``Conv`` would (same
+    names, shapes, inits) and runs ``_chunked_nearest_conv``."""
+
+    features: int
+    kernel_init: Any = tinit.kaiming_normal
+    dtype: Dtype = None
+    depth_chunks: int = 8
+
+    @fnn.compact
+    def __call__(self, skip, h, dst_d):
+        import jax.numpy as jnp
+
+        ci = skip.shape[-1] + h.y.shape[-1]
+        kshape = (3, 3, 3, ci, self.features)
+        fan_in = ci * 27
+        kernel = self.param("kernel", self.kernel_init, kshape, jnp.float32)
+        bias = self.param(
+            "bias", tinit.torch_default_bias(fan_in), (self.features,),
+            jnp.float32,
+        )
+        cdtype = self.dtype or h.y.dtype
+        return _chunked_nearest_conv(
+            skip.astype(cdtype), h, kernel.astype(cdtype), bias, dst_d,
+            self.depth_chunks, cdtype,
+        )
+
+
+class _ChunkedPointwiseConv(fnn.Module):
+    """Parameter-compatible ``conv`` child for the chunked 1x1 stages."""
+
+    features: int
+    kernel_init: Any = tinit.kaiming_normal
+    dtype: Dtype = None
+    depth_chunks: int = 8
+
+    @fnn.compact
+    def __call__(self, h):
+        import jax.numpy as jnp
+
+        ci = h.y.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (1, 1, 1, ci, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", tinit.torch_default_bias(ci), (self.features,),
+            jnp.float32,
+        )
+        cdtype = self.dtype or h.y.dtype
+        return _chunked_pointwise_conv(
+            h, kernel.astype(cdtype), bias, self.depth_chunks, cdtype)
+
+
 class LeanGeneralConv3d(fnn.Module):
     """conv + relu + InstanceNorm with the lean handoff calling convention
     (see module docstring). Mirrors ``GeneralConv3d`` with
     ``order='act_norm', act='relu', norm='in'`` — the decoder epilogue —
-    and identical parameter layout (``conv/kernel``, ``conv/bias``)."""
+    and identical parameter layout (``conv/kernel``, ``conv/bias``).
+
+    ``depth_chunks > 0`` (skip-concat stages only): run the conv+relu as a
+    depth-chunked scan (``_chunked_nearest_conv``) bounding the backward's
+    tap-transpose transients to one chunk — forward equal to f32
+    conv-blocking reassociation (<1e-6 rel)."""
 
     features: int
     kernel_size: Any = 3
@@ -106,10 +297,32 @@ class LeanGeneralConv3d(fnn.Module):
     kernel_init: Any = tinit.kaiming_normal
     dtype: Dtype = None
     pre_resize: tuple = ()
+    depth_chunks: int = 0
 
     @fnn.compact
     def __call__(self, x, train: bool = True, depth_fuse=None) -> LeanHandoff:
         from corrifnet_tpu.ops.instancenorm import relu_in_stats
+
+        if (self.depth_chunks and depth_fuse is not None
+                and depth_fuse[0] == "nearest" and isinstance(x, tuple)
+                and isinstance(x[1], LeanHandoff)):
+            skip, h = x
+            y = _ChunkedNearestConv(
+                self.features, kernel_init=self.kernel_init,
+                dtype=self.dtype, depth_chunks=self.depth_chunks,
+                name="conv",
+            )(skip, h, depth_fuse[1])
+            a, b = _in_stats_of_act(y)
+            return LeanHandoff(y, a, b)
+        if (self.depth_chunks and depth_fuse is None
+                and self.kernel_size == 1 and isinstance(x, LeanHandoff)):
+            y = _ChunkedPointwiseConv(
+                self.features, kernel_init=self.kernel_init,
+                dtype=self.dtype, depth_chunks=self.depth_chunks,
+                name="conv",
+            )(x)
+            a, b = _in_stats_of_act(y)
+            return LeanHandoff(y, a, b)
 
         conv_cls = fnn.remat(_LeanConv, static_argnums=(2,))
         xc = conv_cls(

@@ -59,6 +59,8 @@ def _build_model(cfg: ExperimentConfig):
             kwargs["pallas_fused_blocks"] = cfg.pallas_fused_blocks
             kwargs["remat_mode"] = cfg.remat_mode
             kwargs["decoder_remat"] = cfg.decoder_remat
+            kwargs["decoder_lean"] = cfg.decoder_lean
+            kwargs["decoder_chunk"] = cfg.decoder_chunk
             kwargs["scan_unroll"] = cfg.scan_unroll
     else:
         kwargs = dict(dtype=cfg.jax_dtype)

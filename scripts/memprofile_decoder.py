@@ -21,7 +21,8 @@ def profile(batch, lean):
     from corrifnet_tpu.models.decoder import DecoderFuse
 
     dec = DecoderFuse(depth_mode="full", lean=lean, dtype=jnp.bfloat16,
-                      use_pallas_epilogue=True)
+                      use_pallas_epilogue=True,
+                      c2_chunks=int(os.environ.get("MEMPROF_CHUNK", "0")))
     rng = np.random.default_rng(0)
     b = batch
     shapes = [(b, 3, 56, 56, 24), (b, 3, 56, 56, 48), (b, 3, 28, 28, 96),

@@ -32,6 +32,7 @@ def profile(batch, dremat, depth, lean):
     model = MMVit4(
         dtype=jnp.bfloat16, use_pallas=True, depth_mode=depth,
         decoder_remat=dremat, decoder_lean=lean,
+        decoder_chunk=int(os.environ.get("MEMPROF_CHUNK", "0")),
     )
     rng = np.random.default_rng(0)
     images = jnp.asarray(
@@ -47,7 +48,7 @@ def profile(batch, dremat, depth, lean):
     m = compiled.memory_analysis()
     g = 1 / 1e9
     print(
-        f"B={batch} depth={depth} dremat={int(dremat)} lean={int(lean)}: "
+        f"B={batch} depth={depth} dremat={int(dremat)} lean={lean}: "
         f"args {m.argument_size_in_bytes * g:.2f} GB, "
         f"out {m.output_size_in_bytes * g:.2f} GB, "
         f"temp {m.temp_size_in_bytes * g:.2f} GB, "
@@ -62,7 +63,7 @@ def main():
     batches = [int(a) for a in sys.argv[1:]] or [4, 8]
     dremat = os.environ.get("MEMPROF_DREMAT", "0") == "1"
     depth = os.environ.get("MEMPROF_DEPTH", "full")
-    lean = os.environ.get("MEMPROF_LEAN", "1") == "1"
+    lean = {"1": True, "0": False}.get(os.environ.get("MEMPROF_LEAN", "auto"))
     print(f"backend: {jax.default_backend()}", flush=True)
     for b in batches:
         profile(b, dremat, depth, lean)

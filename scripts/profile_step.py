@@ -37,7 +37,8 @@ def build(batch, spec):
         fuse_expand_bn=spec.get("fusebn", "0") == "1",
         pallas_fused_blocks=spec.get("fusedblk", "0") == "1",
         decoder_remat=spec.get("dremat", "0") == "1",
-        decoder_lean=spec.get("lean", "1") == "1",
+        decoder_lean={"1": True, "0": False}.get(spec.get("lean", "auto")),
+        decoder_chunk=int(spec.get("chunk", 0)),
     )
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.normal(0, 1, (batch, 3, 3, 224, 224)).astype(np.float32))

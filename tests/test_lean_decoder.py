@@ -44,14 +44,19 @@ def test_lean_matches_standard_small():
     args = _decoder_args(rng)
     std = DecoderFuse(depth_mode="full", lean=False)
     lean = DecoderFuse(depth_mode="full", lean=True)
+    chunk = DecoderFuse(depth_mode="full", lean=True, c2_chunks=8)
     v = std.init(jax.random.PRNGKey(0), *args, False)
-    v_lean = lean.init(jax.random.PRNGKey(0), *args, False)
-    assert (jax.tree.map(lambda a: a.shape, v)
-            == jax.tree.map(lambda a: a.shape, v_lean))
+    for mod in (lean, chunk):
+        v_other = mod.init(jax.random.PRNGKey(0), *args, False)
+        assert (jax.tree.map(lambda a: a.shape, v)
+                == jax.tree.map(lambda a: a.shape, v_other))
 
     o0 = std.apply(v, *args, False)
     o1 = lean.apply(v, *args, False)
     assert float(jnp.abs(o0 - o1).max()) == 0.0  # operation-identical fwd
+    # chunked: conv batches change blocking — f32 reassociation only
+    o2 = chunk.apply(v, *args, False)
+    assert float(jnp.abs(o0 - o2).max()) < 2e-6
 
     def loss(params, mod):
         out = mod.apply(params, *args, True)
@@ -60,6 +65,10 @@ def test_lean_matches_standard_small():
     g0 = jax.grad(lambda p: loss(p, std))(v)
     g1 = jax.grad(lambda p: loss(p, lean))(v)
     assert _grad_worst_rel(g0, g1) < 2e-5
+    g2 = jax.grad(lambda p: loss(p, chunk))(v)
+    # init-time InstanceNorm amplification of reassociation noise
+    # (calibrated against the fuse_expand_bn precedent, NOTES round-2)
+    assert _grad_worst_rel(g0, g2) < 1e-3
 
 
 @pytest.mark.skipif(
