@@ -228,8 +228,13 @@ class DeviceDataset:
         masks stay f32 and assuming compression would under-count the
         resident bytes (conservative default: no compression)."""
         if budget_bytes is None:
+            # 5 GB: resident bytes + the B=4 full-depth step peak
+            # (6.07 GB std / 5.16 lean — NOTES r4/r5 ladders) must stay
+            # under the ~12 GB usable; 5 admits the reference protocol's
+            # val+test folds (4.6 GB wire-cast), which the r4 default of 4
+            # wrongly excluded. Raise for full-set residency experiments.
             budget_bytes = 1e9 * float(
-                os.environ.get("CORRIFNET_DEVICE_DATA_BUDGET_GB", "4"))
+                os.environ.get("CORRIFNET_DEVICE_DATA_BUDGET_GB", "5"))
         n = image_bytes + mask_bytes
         if wire_cast:
             n = image_bytes // 2 + (
