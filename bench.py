@@ -261,10 +261,43 @@ def _emit(value, pruned_value, flops_per_patch):
     print(json.dumps(out), flush=True)
 
 
+def _wait_for_free_chip():
+    """If a training run holds device residency, wait (bounded) for it.
+
+    Two concurrent TPU sessions OOM the chip and it is usually the
+    TRAINING process that dies (CLAUDE.md) — benching over a live
+    reference-protocol rehearsal would kill hours of background training
+    for a number measured on a contended chip anyway. Poll until the
+    run.main process exits or the budget (BENCH_WAIT_TRAINING_S, default
+    35 min) runs out, then proceed either way.
+    """
+    import subprocess
+
+    budget = float(os.environ.get("BENCH_WAIT_TRAINING_S", "2100"))
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < budget:
+        try:
+            out = subprocess.run(
+                ["ps", "-eo", "args"], capture_output=True, text=True,
+                timeout=20,
+            ).stdout
+        except Exception:
+            break
+        if "corrifnet_tpu.run.main" not in out:
+            if time.monotonic() - t0 > 1:
+                print("# training run finished; chip free", file=sys.stderr)
+            return
+        print("# live training run holds the chip; waiting 60 s "
+              f"({int(budget - (time.monotonic() - t0))} s left)",
+              file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
     if os.environ.get("BENCH_ONECONF"):
         _run_oneconf()
         return
+    _wait_for_free_chip()
     # Hard wall for the whole run: every subprocess probe is gated on the
     # remaining budget, and the JSON line is (re-)emitted after each stage,
     # so the bench cannot end with nothing parseable.
