@@ -36,9 +36,13 @@ EOF
 
 cd "$RUN"
 T0=$SECONDS
+# NOTE: no `| tail` on the probed leg — a pipe would mask run.main's exit
+# status (the r5 full-set probe OOM'd but the fallback never fired because
+# tail exited 0)
 if ! CORRIFNET_DEVICE_DATA_BUDGET_GB="$BUDGET" \
     python -m corrifnet_tpu.run.main --config cfg.json --run-root . \
-      --train-deadline-s "$DEADLINE" 2>&1 | tail -25; then
+      --train-deadline-s "$DEADLINE" > probe_full.log 2>&1; then
+  tail -25 probe_full.log
   echo "=== full-set residency leg failed; retrying with default budget ==="
   python -m corrifnet_tpu.run.main --config cfg.json --run-root . \
       --train-deadline-s "$DEADLINE" 2>&1 | tail -25
